@@ -1,0 +1,181 @@
+"""Device-resident PST box-fusion optimizer.
+
+Capability target: the host-side optimizer loop of ``BoxFusion``
+(reference box_fusion.py:463-724):
+
+  * ``init_opt_params`` (566-600): center = mean of member centers, dims =
+    mean of axis-sorted member dims permuted to the best-scoring box's axis
+    order, rotation = best-scoring box's rotation;
+  * ``init_searchsize`` (468-473) + per-iteration ``evaluate_iou`` (GPU
+    kernel), ``cal_transform`` (475-535: weighted mean over particles that
+    beat particle 0, first-200 cap), ``update_PST`` (537-563: anisotropic
+    rescale proportional to fitness), EMA smoothing across consecutive
+    successes (685-691, beta=0.9), stop after 3 consecutive failures
+    (708-714), final dims clamp >= 0.01 (716-720).
+
+TPU-first inversion: the reference re-uploads every input and launches a
+CUDA kernel per iteration per object; here the *entire* optimization -- all
+candidate objects x 20 iterations x 1024 particles x views -- is one jitted
+computation (`vmap` over objects, `lax.fori_loop` over iterations), with the
+PST table and all member views resident on device.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from boxfusion_tpu.fusion.kernel import multiview_fitness
+
+
+@dataclasses.dataclass(frozen=True)
+class PSTOptConfig:
+    iters: int = 20
+    center_init_size: float = 0.1
+    center_scaling_coefficient: float = 0.1
+    shape_init_size: float = 0.5
+    shape_scaling_coefficient: float = 0.5
+    beta: float = 0.9  # EMA across consecutive successes (box_fusion.py:622)
+    max_contributors: int = 200  # cal_transform cap (box_fusion.py:514)
+    min_scale: float = 1e-3
+    fail_limit: int = 3
+
+
+def init_opt_params(box_3d: jnp.ndarray, R: jnp.ndarray, scores: jnp.ndarray, mask: jnp.ndarray):
+    """Initialization from member observations (box_fusion.py:566-600).
+
+    Args:
+      box_3d: (V, 6) member xyzlhw.  R: (V, 3, 3).  scores: (V,).
+      mask: (V,) valid member slots.
+
+    Returns:
+      (xyzlhw (6,), R (3, 3)).
+    """
+    nv = jnp.maximum(jnp.sum(mask), 1.0)
+    best = jnp.argmax(jnp.where(mask, scores, -jnp.inf))
+
+    mean_xyz = jnp.sum(box_3d[:, :3] * mask[:, None], axis=0) / nv
+
+    best_dims = box_3d[best, 3:]
+    # argsort of the best box's dims; get_indices[i] = rank position of axis i
+    sorted_idx = jnp.argsort(best_dims)
+    get_indices = jnp.argsort(sorted_idx)
+    dims_sorted = jnp.sort(box_3d[:, 3:], axis=1)  # (V, 3) small->large
+    dims_in_best_order = dims_sorted[:, get_indices]
+    mean_dims = jnp.sum(dims_in_best_order * mask[:, None], axis=0) / nv
+
+    return jnp.concatenate([mean_xyz, mean_dims]), R[best]
+
+
+def _cal_transform(fitness: jnp.ndarray, pst: jnp.ndarray, search_size: jnp.ndarray, cap: int):
+    """Weighted particle mean (box_fusion.py:475-535).
+
+    Returns (success, mean_iou, mean_transform(6,)).
+    """
+    f0 = fitness[0]
+    f = fitness[1:]
+    better = f < f0
+    rank = jnp.cumsum(better.astype(jnp.int32))
+    use = better & (rank <= cap)
+
+    w = jnp.where(use, f0 - f, 0.0)
+    sw = jnp.sum(w)
+    success = sw > 0
+
+    sums = jnp.sum(pst[1:] * w[:, None], axis=0)
+    mean_transform = (sums / jnp.where(success, sw, 1.0)) * search_size
+    mean_iou = jnp.sum(f * w) / jnp.where(success, sw, 1.0)
+    mean_iou = jnp.where(success, mean_iou, f0)
+    mean_transform = jnp.where(success, mean_transform, 0.0)
+    return success, mean_iou, mean_transform
+
+
+def _update_search_size(iou, mean_transform, cfg: PSTOptConfig):
+    """Anisotropic search rescale (box_fusion.py:537-563)."""
+    s = jnp.abs(mean_transform) + cfg.min_scale
+    normal = s / jnp.sqrt(jnp.sum(s * s))
+    scale = jnp.array(
+        [cfg.center_scaling_coefficient] * 3 + [cfg.shape_scaling_coefficient] * 3
+    )
+    return scale * iou * normal + cfg.min_scale
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def optimize_boxes(
+    init_xyzlhw: jnp.ndarray,
+    init_R: jnp.ndarray,
+    pst: jnp.ndarray,
+    cam_poses: jnp.ndarray,
+    obs_corners: jnp.ndarray,
+    view_mask: jnp.ndarray,
+    obj_mask: jnp.ndarray,
+    K: jnp.ndarray,
+    H: jnp.ndarray,
+    W: jnp.ndarray,
+    cfg: PSTOptConfig = PSTOptConfig(),
+):
+    """Run the PST optimization for a batch of objects in one jit.
+
+    Args:
+      init_xyzlhw: (N, 6) initial parameters (from `init_opt_params`).
+      init_R: (N, 3, 3) fixed rotations.
+      pst: (P, 6) particle table (row 0 identity).
+      cam_poses: (N, V, 4, 4); obs_corners: (N, V, 8, 2);
+      view_mask: (N, V) member-slot validity.
+      obj_mask: (N,) which object slots are real.
+      K: (3, 3); H, W: scalar image bounds.
+
+    Returns:
+      (fused_xyzlhw (N, 6), need_update (N,) bool).
+    """
+
+    def one(xyzlhw0, R, poses, corners, vmask, active):
+        ss0 = jnp.array(
+            [cfg.center_init_size] * 3 + [cfg.shape_init_size] * 3, jnp.float32
+        )
+
+        def body(_, state):
+            xyzlhw, ss, prev_ss, prev_success, fail, need_update, done = state
+            fitness = multiview_fitness(
+                xyzlhw, R, pst, ss, poses, corners, vmask, K, H, W
+            )
+            success, mean_iou, mean_transform = _cal_transform(
+                fitness, pst, ss, cfg.max_contributors
+            )
+            new_ss = _update_search_size(mean_iou, mean_transform, cfg)
+            new_ss = jnp.where(
+                prev_success & success,
+                cfg.beta * new_ss + (1.0 - cfg.beta) * prev_ss,
+                new_ss,
+            )
+
+            upd = success & ~done
+            xyzlhw = jnp.where(upd, xyzlhw + mean_transform, xyzlhw)
+            prev_ss = jnp.where(upd, new_ss, prev_ss)
+            fail = jnp.where(done, fail, jnp.where(success, 0, fail + 1))
+            need_update = need_update | upd
+            new_done = done | (fail >= cfg.fail_limit)
+            ss = jnp.where(done, ss, new_ss)
+            prev_success = jnp.where(done, prev_success, success)
+            return xyzlhw, ss, prev_ss, prev_success, fail, need_update, new_done
+
+        state = (
+            xyzlhw0,
+            ss0,
+            jnp.zeros(6, jnp.float32),
+            jnp.bool_(False),
+            jnp.int32(0),
+            jnp.bool_(False),
+            ~active,  # inactive slots are born converged
+        )
+        xyzlhw, *_, need_update, _ = jax.lax.fori_loop(0, cfg.iters, body, state)
+        # final dims clamp (box_fusion.py:716-720), applied only when fused.
+        dims = jnp.maximum(xyzlhw[3:], 0.01)
+        fused = jnp.concatenate([xyzlhw[:3], dims])
+        return jnp.where(need_update, fused, xyzlhw0), need_update & active
+
+    return jax.vmap(one)(
+        init_xyzlhw, init_R, cam_poses, obs_corners, view_mask, obj_mask
+    )

@@ -1,0 +1,266 @@
+"""RGB-D ViT backbone (flax.linen), TPU-first layout (NHWC).
+
+Capability target: the reference's self-contained ViTDet-style backbone with
+joint RGB-D windowed attention (reference boxfusion/vit.py:16-521):
+
+  * separate 16x16 patch embeds for RGB (3ch) and depth (1ch)
+    (vit.py:416-448), each with its own absolute position embedding
+    bicubic-resized from the 224/16=14 pretraining grid (vit.py:60-86);
+  * 12 blocks; window attention (window 16) on blocks {0,1,3,4,6,7,9,10}
+    where RGB and depth tokens attend *jointly*: q/k/v of both modalities are
+    concatenated along the sequence, one score matrix is computed, then split
+    per-modality before softmax (vit.py:170-203);
+  * the depth window size is the RGB window divided by the RGB/depth
+    resolution ratio, restricted to {4, 8, 16} (vit.py:205,289-307);
+  * global blocks {2,5,8,11} attend RGB only (vit.py:466,511-515);
+  * the MLP is shared between modalities within a block (vit.py:326-340).
+
+Window partitioning zero-pads token maps to window multiples and lets the
+padded tokens participate in attention, exactly like the reference
+(vit.py:16-58 pads without masking).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from boxfusion_tpu.models.cutr.layers import resize_pos_embed
+
+DEPTH_WINDOW_SIZES = (4, 8, 16)
+
+
+def window_partition(x: jnp.ndarray, window: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """(B, H, W, C) -> (B*nW, win, win, C), zero-padding to window multiples."""
+    B, H, W, C = x.shape
+    pad_h = (-H) % window
+    pad_w = (-W) % window
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = H + pad_h, W + pad_w
+    x = x.reshape(B, Hp // window, window, Wp // window, window, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window, window, C)
+    return x, (Hp, Wp)
+
+
+def window_unpartition(
+    windows: jnp.ndarray, window: int, pad_hw: Tuple[int, int], hw: Tuple[int, int]
+) -> jnp.ndarray:
+    Hp, Wp = pad_hw
+    H, W = hw
+    B = windows.shape[0] // (Hp * Wp // window // window)
+    x = windows.reshape(B, Hp // window, Wp // window, window, window, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, -1)
+    return x[:, :H, :W]
+
+
+class PatchEmbed(nn.Module):
+    """16x16 stride-16 conv patchifier (vit.py:102-128), NHWC in/out."""
+
+    embed_dim: int
+    patch: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch, self.patch),
+            strides=(self.patch, self.patch),
+            padding="VALID",
+            name="proj",
+        )(x)
+
+
+class JointAttention(nn.Module):
+    """Multi-head attention with optional joint RGB-D tokens (vit.py:130-203).
+
+    Both modalities share the qkv / proj weights.  Scores are computed over
+    the concatenated key sequence; the softmax is applied separately to the
+    RGB-query block and the depth-query block (matching the reference's
+    split-after-matmul).
+    """
+
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, depth=None):
+        B, H, W, C = x.shape
+        hd = C // self.num_heads
+        scale = hd ** -0.5
+
+        qkv = nn.Dense(3 * C, name="qkv")
+        proj = nn.Dense(C, name="proj")
+
+        def split_qkv(t, n):
+            # (B, N, 3, heads, hd) matching torch's packed reshape.
+            r = qkv(t).reshape(B, n, 3, self.num_heads, hd)
+            return r[:, :, 0], r[:, :, 1], r[:, :, 2]  # each (B, N, heads, hd)
+
+        q, k, v = split_qkv(x.reshape(B, H * W, C), H * W)
+
+        if depth is not None:
+            _, Hd, Wd, _ = depth.shape
+            qd, kd, vd = split_qkv(depth.reshape(B, Hd * Wd, C), Hd * Wd)
+            k = jnp.concatenate([k, kd], axis=1)
+            v = jnp.concatenate([v, vd], axis=1)
+
+            attn_d = jnp.einsum("bqhc,bkhc->bhqk", qd * scale, k)
+            attn_d = jax.nn.softmax(attn_d, axis=-1)
+            out_d = jnp.einsum("bhqk,bkhc->bqhc", attn_d, v).reshape(B, Hd, Wd, C)
+            out_d = proj(out_d)
+        else:
+            out_d = None
+
+        attn = jnp.einsum("bqhc,bkhc->bhqk", q * scale, k)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(B, H, W, C)
+        out = proj(out)
+        return out, out_d
+
+
+class Mlp(nn.Module):
+    """timm-style MLP (fc1/act/fc2) used by the reference blocks (vit.py:274)."""
+
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        x = nn.Dense(self.hidden_dim, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(dim, name="fc2")(x)
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block with optional windowing + depth modality
+    (vit.py:206-342)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    window_size: int = 0
+    depth_modality: bool = False
+    layer_scale: bool = False
+
+    @nn.compact
+    def __call__(self, x, depth=None):
+        dim = x.shape[-1]
+        norm1 = nn.LayerNorm(epsilon=1e-6, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-6, name="norm2")
+        mlp = Mlp(int(dim * self.mlp_ratio), name="mlp")
+        attn = JointAttention(self.num_heads, name="attn")
+        if self.layer_scale:
+            ls1 = self.param("ls1_gamma", nn.initializers.ones, (dim,))
+            ls2 = self.param("ls2_gamma", nn.initializers.ones, (dim,))
+
+        shortcut = x
+        xn = norm1(x)
+
+        use_depth = self.depth_modality and depth is not None
+        if self.window_size > 0:
+            H, W = xn.shape[1], xn.shape[2]
+            xn, pad_hw = window_partition(xn, self.window_size)
+
+        if use_depth:
+            shortcut_depth = depth
+            dn = norm1(depth)
+            Hd, Wd = dn.shape[1], dn.shape[2]
+            # Depth window derived from the RGB/depth resolution ratio
+            # (vit.py:296-304); static shapes make this a Python int.
+            dws = int(self.window_size // (H / Hd))
+            if dws not in DEPTH_WINDOW_SIZES:
+                raise ValueError(f"Unexpected depth window size {dws}")
+            dn, pad_hw_d = window_partition(dn, dws)
+            xn, dn = attn(xn, dn)
+            dn = window_unpartition(dn, dws, pad_hw_d, (Hd, Wd))
+        else:
+            xn, _ = attn(xn)
+
+        if self.window_size > 0:
+            xn = window_unpartition(xn, self.window_size, pad_hw, (H, W))
+
+        if self.layer_scale:
+            xn = xn * ls1
+            if use_depth:
+                dn = dn * ls1
+
+        x = shortcut + xn
+        y = mlp(norm2(x))
+        if self.layer_scale:
+            y = y * ls2
+        x = x + y
+
+        if use_depth:
+            depth = shortcut_depth + dn
+            yd = mlp(norm2(depth))
+            if self.layer_scale:
+                yd = yd * ls2
+            depth = depth + yd
+
+        return x, depth
+
+
+class ViT(nn.Module):
+    """RGB-D ViT backbone (vit.py:344-521).
+
+    __call__(image, depth) takes NHWC image (B, S, S, 3) and depth
+    (B, Sd, Sd, 1); returns the stride-16 feature map (B, S/16, S/16, C).
+    """
+
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    window_size: int = 16
+    window_block_indexes: Sequence[int] = (0, 1, 3, 4, 6, 7, 9, 10)
+    depth_modality: bool = True
+    layer_scale: bool = False
+    encoder_norm: bool = False
+    pretrain_img_size: int = 224
+    pretrain_use_cls_token: bool = True
+    patch: int = 16
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray, depth: Optional[jnp.ndarray] = None):
+        grid = self.pretrain_img_size // self.patch
+        n_pos = grid * grid + (1 if self.pretrain_use_cls_token else 0)
+
+        x = PatchEmbed(self.embed_dim, name="patch_embed")(image)
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, n_pos, self.embed_dim),
+        )
+        p = pos[:, 1:] if self.pretrain_use_cls_token else pos
+        x = x + resize_pos_embed(p, grid, (x.shape[1], x.shape[2]))
+
+        d = None
+        if self.depth_modality and depth is not None:
+            d = PatchEmbed(self.embed_dim, name="patch_embed_depth")(depth)
+            pos_d = self.param(
+                "pos_embed_depth", nn.initializers.zeros, (1, n_pos, self.embed_dim)
+            )
+            pd = pos_d[:, 1:] if self.pretrain_use_cls_token else pos_d
+            d = d + resize_pos_embed(pd, grid, (d.shape[1], d.shape[2]))
+
+        for i in range(self.depth):
+            is_window = i in self.window_block_indexes
+            blk = Block(
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                window_size=self.window_size if is_window else 0,
+                # Reference: depth participates only in window blocks
+                # (vit.py:466, cubify_transformer.py:1254-1264).
+                depth_modality=self.depth_modality and is_window,
+                layer_scale=self.layer_scale,
+                name=f"blocks_{i}",
+            )
+            if blk.depth_modality and d is not None:
+                x, d = blk(x, d)
+            else:
+                x, _ = blk(x)
+
+        if self.encoder_norm:
+            x = nn.LayerNorm(epsilon=1e-6, name="encoder_norm")(x)
+        return x

@@ -1,0 +1,159 @@
+"""Config system: schema-validated YAML with defaults.
+
+Capability target: the reference's flat-YAML + argparse config (reference
+demo.py:410-436, config/*.yaml) -- with two fixes the reference lacks:
+
+1. A *schema with defaults*, so keys that exist only in some reference
+   configs (``detection.class_sim_thres``, ``detection.size_max_thres``,
+   ``box_fusion.clip_sim_coeff`` -- present only in cubicle.yaml:23-24,46,
+   while demo.py:146,167,170 requires them unconditionally) no longer
+   KeyError: they default to values that disable the corresponding feature.
+2. Unknown-key detection, so typos fail loudly.
+
+The loaded config is still dict-like (``cfg["box_fusion"]["iters"]``) for
+reference-parity call sites, plus attribute access (``cfg.box_fusion.iters``).
+"""
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, Optional
+
+import yaml
+
+# Defaults mirror config/ca1m.yaml of the reference; cubicle-only keys get
+# feature-off defaults.
+DEFAULTS: Dict[str, Any] = {
+    "dataset": "CA1M",
+    "data": {
+        "datadir": "",
+        "start": 0,
+        "output_dir": None,
+        "gap": 20,
+    },
+    "cam": {
+        "H": 384,
+        "W": 512,
+        "fx": None,
+        "fy": None,
+        "cx": None,
+        "cy": None,
+        "png_depth_scale": 1000.0,
+    },
+    "detection": {
+        "score_thresh": 0.4,
+        "uv_bound": True,
+        "uv_bound_value": 0.9,
+        "floor_mask": True,
+        "floor_ratio": 15,
+        "scale_box": 1.5,
+        # cubicle.yaml-only keys with feature-off defaults:
+        "class_sim_thres": 0.0,
+        "size_max_thres": 0.0,  # 0 disables the large-box filter
+        # TPU-specific static capacities:
+        "max_detections": 100,
+    },
+    "association": {
+        "small_threshold": 0.2,
+        "rotation_gap": 30.0,
+        "translation_gap": 0.8,
+        # TPU-specific static capacities:
+        "max_global_boxes": 512,
+        "max_observations": 4096,
+        "max_views": 10,
+    },
+    "box_fusion": {
+        "use": True,
+        "iters": 20,
+        "pst_path": "./data/pst_1024_0.tiff",
+        "pst_size": 1024,
+        "random_opt": {
+            "center_init_size": 0.1,
+            "center_scaling_coefficient": 0.1,
+            "shape_init_size": 0.5,
+            "shape_scaling_coefficient": 0.5,
+        },
+        "check_valid": False,
+        "nms_threshold": 0.1,
+        "small_size": 0.5,
+        "clip_sim_coeff": 0.0,  # cubicle.yaml:46; 0 disables CLIP score boost
+        "max_fusions_per_frame": 16,
+    },
+    "vis": {
+        "rerun": False,
+        "show_class": False,
+        "show_label": False,
+        "trajectory": True,
+    },
+    "eval": False,
+}
+
+
+class Config:
+    """Nested dict with attribute access; validated against DEFAULTS."""
+
+    def __init__(self, data: Dict[str, Any]):
+        self._data = data
+
+    def __getitem__(self, key: str) -> Any:
+        v = self._data[key]
+        return Config(v) if isinstance(v, dict) else v
+
+    def __setitem__(self, key: str, value: Any) -> None:
+        self._data[key] = value
+
+    def __getattr__(self, key: str) -> Any:
+        if key.startswith("_"):
+            raise AttributeError(key)
+        try:
+            return self[key]
+        except KeyError:
+            raise AttributeError(f"No config key '{key}'") from None
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._data
+
+    def get(self, key: str, default: Any = None) -> Any:
+        v = self._data.get(key, default)
+        return Config(v) if isinstance(v, dict) else v
+
+    def to_dict(self) -> Dict[str, Any]:
+        return copy.deepcopy(self._data)
+
+    def keys(self):
+        return self._data.keys()
+
+    def items(self):
+        return self._data.items()
+
+    def __repr__(self):
+        return f"Config({self._data!r})"
+
+
+def _merge(defaults: Dict[str, Any], overrides: Dict[str, Any], path: str = "") -> Dict[str, Any]:
+    out = copy.deepcopy(defaults)
+    for k, v in overrides.items():
+        where = f"{path}.{k}" if path else k
+        if k not in out:
+            raise KeyError(f"Unknown config key: {where}")
+        if isinstance(v, dict) and isinstance(out[k], dict):
+            out[k] = _merge(out[k], v, where)
+        else:
+            out[k] = v
+    return out
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[Dict[str, Any]] = None) -> Config:
+    """Load a YAML config merged over DEFAULTS.
+
+    Args:
+      path: YAML file path (may be None for pure defaults).
+      overrides: an extra dict merged last.
+    """
+    data = copy.deepcopy(DEFAULTS)
+    if path is not None:
+        with open(path) as f:
+            user = yaml.safe_load(f) or {}
+        data = _merge(data, user)
+    if overrides:
+        data = _merge(data, overrides)
+    return Config(data)
