@@ -1,28 +1,21 @@
-"""boxfusion_tpu: TPU-native reconstruction-free open-vocabulary 3D object detection.
+"""boxfusion_tpu: TPU-native reconstruction-free open-vocabulary 3D detection.
 
-A ground-up JAX/XLA/Pallas re-design of the capabilities of BoxFusion
-(reference: pliam1105/BoxFusion): a posed RGB-D stream is run through a
-CuTR-style RGB-D ViT detector on keyframes, detections are labeled
-open-vocabulary via CLIP, and per-frame 3D boxes are incrementally associated
-and fused into a persistent world-frame box set -- without reconstruction.
-
-Design stance (vs. the torch/CUDA reference):
-  * pure-functional geometry core on registered pytrees (jit/vmap/scan safe)
-  * static shapes + masks everywhere (fixed world capacity, 5-view fusion slots)
-  * the whole keyframe update (filters -> association -> bookkeeping -> PST
-    fusion) is one jitted device-resident function; no host bounces
-  * multi-view IoU fitness evaluated as a fused vectorized kernel over the
-    (particles x views) grid instead of a PyCUDA kernel fed per-iteration
+A from-scratch JAX/XLA framework with the capabilities of BoxFusion
+(arXiv:2506.15610): online multi-view 3D object detection and box fusion
+from posed RGB-D streams, built TPU-first -- jitted static-shape compute,
+device-resident fusion optimization, mesh-sharded training/eval.
 
 Subpackages:
-  geometry/  box parametrization, corners, projection, IoU (2D/OBB)
-  data/      dataset readers (CA-1M, ScanNet), preprocessing, sensor metadata
-  model/     CuTR detector (RGB-D ViT + DETR-style prompt decoder) in flax
-  clip/      open-vocabulary CLIP head (image/text towers + crop scoring)
-  fusion/    world-state association, box manager, PST random optimizer
-  runtime/   online keyframe pipeline, device mesh / sharded eval
-  viz/       optional rerun visualization
-  cli/       demo-compatible command line drivers
+  geometry/    pure-jnp box/projection/IoU/orientation kernels
+  structures/  Instances, GeneralBoxes3D, sensor metadata (pytrees)
+  models/cutr  the CuTR RGB-D detector (flax) + checkpoint converter
+  models/clip  CLIP towers + open-vocab labeling head
+  fusion/      association (OBB IoU + NMS bookkeeping) + PST optimizer
+  data/        CA-1M / ScanNet readers, preprocessing, synthetic scenes
+  runtime/     the online per-frame pipeline
+  train/       set losses + sharded train step
+  parallel/    device mesh + dp/fsdp/tp shardings
+  utils/       config, io, viz
 """
 
 __version__ = "0.1.0"

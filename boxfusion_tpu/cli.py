@@ -1,0 +1,163 @@
+"""Command-line driver: run online detection + fusion on a sequence.
+
+Capability target: the reference's ``demo.py`` entry point
+(demo.py:389-467): same positional dataset argument and flags, same config
+handling (including --seq datadir rewriting, demo.py:416-431, and the
+skip-if-output-exists early exit, demo.py:434-436).
+
+Usage:
+  python -m boxfusion_tpu.cli ca1m --config config/ca1m.yaml \
+      --model-path cutr_rgbd.ckpt --seq 42898867
+  python -m boxfusion_tpu.cli synthetic --config config/ca1m.yaml
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from boxfusion_tpu.utils.config import load_config
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="boxfusion_tpu online demo")
+    p.add_argument(
+        "dataset_path",
+        help="Dataset kind/path: 'ca1m', 'scannet', 'synthetic', or a data dir",
+    )
+    p.add_argument("--model-path", default=None, help="CuTR checkpoint (.pth/.msgpack)")
+    p.add_argument("--config", required=True, type=str)
+    p.add_argument("--clip-path", default=None, type=str, help="CLIP weights for labeling")
+    p.add_argument("--seq", default=None, type=str)
+    p.add_argument("--class_txt", default="./data/panoptic_categories_nomerge.txt")
+    p.add_argument("--class_features", default="./data/class_features.pt")
+    p.add_argument("--every-nth-frame", default=None, type=int)
+    p.add_argument("--device", default=None)
+    p.add_argument("--dimension", default=768, type=int, help="ViT width if random init")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    if not os.path.exists(args.config):
+        raise ValueError("Missing config path")
+    cfg = load_config(args.config)
+
+    # --seq rewrites the datadir like the reference (demo.py:416-431)
+    if args.seq and args.dataset_path.lower() == "ca1m":
+        base = cfg["data"]["datadir"]
+        cfg["data"]._data["datadir"] = os.path.join(
+            os.path.dirname(os.path.dirname(base)), args.seq + "/"
+        )
+
+    out_dir = cfg["data"]["output_dir"]
+    if (
+        args.seq
+        and out_dir
+        and cfg["eval"]
+        and os.path.exists(os.path.join(out_dir, args.seq + "_boxes.pkl"))
+    ):
+        print("Results for boxes already exist, skip evaluation")
+        return 0
+
+    # dataset
+    if args.dataset_path.lower() == "synthetic":
+        from boxfusion_tpu.data.synthetic import OracleDetector, SyntheticSequence
+
+        dataset = SyntheticSequence(n_frames=60, n_boxes=6)
+        detector = OracleDetector(dataset, noise=0.02)
+    else:
+        from boxfusion_tpu.data import get_dataset
+
+        cfg._data["dataset"] = (
+            "scannet" if args.dataset_path.lower() == "scannet" else "CA1M"
+        )
+        dataset = get_dataset(cfg)
+        detector = _build_cutr_detector(args)
+
+    if args.every_nth_frame:
+        import itertools
+
+        dataset = itertools.islice(iter(dataset), 0, None, args.every_nth_frame)
+
+    labeler = None
+    if args.clip_path or (os.path.exists(args.class_features) and os.path.exists(args.class_txt)):
+        try:
+            from boxfusion_tpu.models.clip import build_labeler
+
+            labeler = build_labeler(
+                args.clip_path,
+                args.class_txt,
+                args.class_features,
+                sim_thres=float(cfg["detection"]["class_sim_thres"]),
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"[cli] open-vocab labeling disabled: {e}")
+
+    from boxfusion_tpu.runtime import OnlinePipeline
+    from boxfusion_tpu.utils import viz
+
+    pipe = OnlinePipeline(cfg, detector, labeler=labeler)
+    if cfg["vis"]["rerun"]:
+        viz.init_recording(getattr(dataset, "video_id", "boxfusion"))
+
+    world = pipe.run(dataset, verbose=args.verbose)
+
+    if cfg["vis"]["rerun"]:
+        viz.visualize_online_boxes(
+            world,
+            show_class=bool(cfg["vis"]["show_class"]),
+            show_label=bool(cfg["vis"]["show_label"]),
+        )
+
+    if out_dir:
+        from boxfusion_tpu.utils.io import save_framewise_boxes, save_world_boxes
+
+        class_list = _load_class_list(args.class_txt)
+        video_id = getattr(dataset, "video_id", "sequence")
+        if cfg["eval"]:
+            save_world_boxes(world, class_list, out_dir, video_id, cfg["dataset"])
+        save_framewise_boxes(pipe.obs, world.categories, None, class_list, out_dir)
+    return 0
+
+
+def _load_class_list(path: str):
+    if os.path.exists(path):
+        return list(np.genfromtxt(path, delimiter="\n", dtype=str))
+    return ["object"]
+
+
+def _build_cutr_detector(args):
+    import jax
+
+    from boxfusion_tpu.models.cutr import FrameBatch, make_cutr
+    from boxfusion_tpu.runtime import CuTRDetector
+
+    if args.model_path and os.path.exists(args.model_path):
+        from boxfusion_tpu.models.cutr.convert import load_checkpoint
+
+        params, dimension = load_checkpoint(args.model_path)
+        model = make_cutr(dimension=dimension, depth_model=True)
+    else:
+        print("[cli] no checkpoint given: using random-initialized CuTR")
+        import jax.numpy as jnp
+
+        model = make_cutr(dimension=args.dimension, depth_model=True)
+        batch = FrameBatch(
+            image=jnp.zeros((1, 256, 256, 3)),
+            depth=jnp.zeros((1, 256, 256, 1)),
+            K=jnp.eye(3)[None],
+            image_hw=jnp.asarray([[256.0, 256.0]]),
+            depth_params=jnp.ones((1, 2)),
+            T_gravity=jnp.eye(3)[None],
+        )
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    return CuTRDetector(model, params)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

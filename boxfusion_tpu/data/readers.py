@@ -1,0 +1,262 @@
+"""Posed RGB-D sequence readers: ScanNetV2 and CA-1M (SLAM-style folders).
+
+Capability target: ``ScannetDataset`` / ``CA1MDataset`` (reference
+boxfusion/capture_stream.py:119-529).  Same on-disk layout, same per-frame
+semantics:
+
+  * ScanNet: ``color/*.jpg`` + 16-bit ``depth/*.png`` / png_depth_scale +
+    per-frame ``pose/*.txt`` with inf-pose fallback to the last valid pose
+    (capture_stream.py:157-178); fixed K from the config.
+  * CA-1M: ``rgb/*.png`` + ``depth/*.png`` + ``all_poses.npy``; optional
+    per-frame intrinsics ``K_all.npy`` and depth scales ``K_scales.npy``
+    (capture_stream.py:339-350); the ceiling-facing first-camera pre-rotation
+    (capture_stream.py:84-114,486-501).
+  * Shared: color resized to the depth resolution, long side capped at 1024
+    (capture_stream.py:116,205-206,255-260), orientation inferred from the
+    pose z-row, image/depth/K/pose rotated to UPRIGHT, T_gravity computed,
+    and the model-facing pose zeroed (RT = I) while the GT pose rides along
+    (capture_stream.py:494-522).
+
+I/O stays host-side (PIL + numpy; cv2 is not required); everything yielded
+is a plain numpy ``Frame``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import re
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from boxfusion_tpu.geometry.orientation import (
+    ImageOrientation,
+    check_first_camera,
+    first_camera_to_upright,
+    get_camera_to_gravity_transform,
+    get_orientation,
+    revert_first_camera,
+    rotate_image,
+    rotate_K,
+    rotate_pose,
+)
+
+MAX_LONG_SIDE = 1024  # capture_stream.py:116
+
+
+@dataclasses.dataclass
+class Frame:
+    """One posed RGB-D frame (all numpy, oriented UPRIGHT)."""
+
+    image: np.ndarray          # (H, W, 3) uint8
+    depth: Optional[np.ndarray]  # (Hd, Wd) float32 metric
+    K: np.ndarray              # (3, 3) image intrinsics (oriented)
+    K_depth: np.ndarray        # (3, 3) depth intrinsics (oriented)
+    T_gravity: np.ndarray      # (3, 3)
+    gt_pose: np.ndarray        # (4, 4) camera-to-world
+    video_id: str
+    timestamp: int
+
+
+def _resize_rgb(arr: np.ndarray, size_wh: Tuple[int, int]) -> np.ndarray:
+    if (arr.shape[1], arr.shape[0]) == tuple(size_wh):
+        return arr
+    return np.asarray(Image.fromarray(arr).resize(size_wh, Image.BILINEAR))
+
+
+def _resize_depth(arr: np.ndarray, size_wh: Tuple[int, int]) -> np.ndarray:
+    if (arr.shape[1], arr.shape[0]) == tuple(size_wh):
+        return arr
+    return np.asarray(
+        Image.fromarray(arr.astype(np.float32), mode="F").resize(size_wh, Image.BILINEAR)
+    )
+
+
+def _load_depth_png(path: str, scale: float) -> np.ndarray:
+    img = Image.open(path)
+    arr = np.asarray(img)
+    return arr.astype(np.float32) / scale
+
+
+def _scale_K(K: np.ndarray, sx: float, sy: float) -> np.ndarray:
+    out = K.astype(np.float32).copy()
+    out[0, :] *= sx
+    out[1, :] *= sy
+    return out
+
+
+class _PosedSequence:
+    """Shared per-frame orientation / gravity logic of both readers."""
+
+    def _finalize(self, image, depth, K, K_depth, pose, video_id, index, first_camera=False):
+        pose = pose.astype(np.float32)
+        rt = pose.copy()
+        if first_camera:
+            rt = first_camera_to_upright(rt)
+
+        current = get_orientation(rt)
+        target = ImageOrientation.UPRIGHT
+        T_gravity = get_camera_to_gravity_transform(rt, current, target)
+
+        size = (image.shape[1], image.shape[0])
+        K = rotate_K(K, current, size, target)
+        if depth is not None:
+            dsize = (depth.shape[1], depth.shape[0])
+            K_depth = rotate_K(K_depth, current, dsize, target)
+        rt = rotate_pose(rt, current, target)
+        if first_camera:
+            rt = revert_first_camera(rt)
+
+        image = np.ascontiguousarray(
+            rotate_image(np.moveaxis(image, -1, 0), current, target).transpose(1, 2, 0)
+        )
+        if depth is not None:
+            depth = np.ascontiguousarray(rotate_image(depth, current, target))
+
+        return Frame(
+            image=image,
+            depth=depth,
+            K=K.astype(np.float32),
+            K_depth=K_depth.astype(np.float32),
+            T_gravity=T_gravity.astype(np.float32),
+            gt_pose=pose,  # GT keeps the *unoriented* pose (capture_stream.py:516)
+            video_id=video_id,
+            timestamp=index,
+        )
+
+
+class ScannetDataset(_PosedSequence):
+    """ScanNetV2 frames directory (capture_stream.py:119-311)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        base = cfg["data"]["datadir"]
+        start = int(cfg["data"]["start"])
+        self.img_files = sorted(
+            glob.glob(os.path.join(base, "color", "*.jpg")),
+            key=lambda x: int(os.path.basename(x)[:-4]),
+        )[start:]
+        self.depth_files = sorted(
+            glob.glob(os.path.join(base, "depth", "*.png")),
+            key=lambda x: int(os.path.basename(x)[:-4]),
+        )[start:]
+        self.poses = self._load_poses(os.path.join(base, "pose"))[start:]
+
+        cam = cfg["cam"]
+        self.K = np.array(
+            [[cam["fx"], 0, cam["cx"]], [0, cam["fy"], cam["cy"]], [0, 0, 1]],
+            np.float32,
+        )
+        self.size = (int(cam["W"]), int(cam["H"]))
+        self.depth_scale = float(cam["png_depth_scale"])
+        m = re.findall(r"scene\d{4}_\d{2}", base)
+        self.video_id = m[0] if m else os.path.basename(base.rstrip("/"))
+
+    @staticmethod
+    def _load_poses(path):
+        poses, last_valid = [], None
+        for p in sorted(
+            glob.glob(os.path.join(path, "*.txt")),
+            key=lambda x: int(os.path.basename(x)[:-4]),
+        ):
+            c2w = np.loadtxt(p).reshape(4, 4)
+            if not np.isinf(c2w).any():
+                last_valid = c2w
+            else:
+                c2w = last_valid  # inf-pose fallback (capture_stream.py:170-174)
+            poses.append(c2w)
+        return poses
+
+    def __len__(self):
+        return len(self.img_files)
+
+    def __iter__(self) -> Iterator[Frame]:
+        for i in range(len(self.img_files)):
+            image = np.asarray(Image.open(self.img_files[i]).convert("RGB"))
+            depth = _load_depth_png(self.depth_files[i], self.depth_scale)
+            # color resized to depth resolution (capture_stream.py:205-206),
+            # then both to the configured camera size.
+            image = _resize_rgb(image, (depth.shape[1], depth.shape[0]))
+            image = _resize_rgb(image, self.size)
+            depth = _resize_depth(depth, self.size)
+            K = self.K
+            if max(self.size) > MAX_LONG_SIDE:
+                s = MAX_LONG_SIDE / max(self.size)
+                new = (int(self.size[0] * s), int(self.size[1] * s))
+                image = _resize_rgb(image, new)
+                K = _scale_K(K, new[0] / self.size[0], new[1] / self.size[1])
+            yield self._finalize(
+                image, depth, K, self.K, self.poses[i], self.video_id, i
+            )
+
+
+class CA1MDataset(_PosedSequence):
+    """CA-1M SLAM-style folder (capture_stream.py:315-529)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        base = cfg["data"]["datadir"]
+        start = int(cfg["data"]["start"])
+        self.img_files = sorted(
+            glob.glob(os.path.join(base, "rgb", "*.png")),
+            key=lambda x: int(os.path.basename(x)[:-4]),
+        )[start:]
+        self.depth_files = sorted(
+            glob.glob(os.path.join(base, "depth", "*.png")),
+            key=lambda x: int(os.path.basename(x)[:-4]),
+        )[start:]
+        self.poses = np.load(os.path.join(base, "all_poses.npy")).reshape(-1, 4, 4)[start:]
+
+        self.K = np.loadtxt(os.path.join(base, "K_depth.txt")).reshape(3, 3).astype(np.float32)
+        k_all = os.path.join(base, "K_all.npy")
+        self.all_K = np.load(k_all) if os.path.exists(k_all) else None
+        k_scales = os.path.join(base, "K_scales.npy")
+        self.scales = np.load(k_scales) if os.path.exists(k_scales) else None
+
+        cam = cfg["cam"]
+        # portrait: height = cam.W (long), width = cam.H (short)
+        # (capture_stream.py:359-360)
+        self.size = (int(cam["H"]), int(cam["W"]))
+        self.depth_scale = float(cam["png_depth_scale"])
+        m = re.findall(r"\b4\d{7}\b", base)
+        self.video_id = m[0] if m else os.path.basename(base.rstrip("/"))
+        self._first_camera: Optional[bool] = None
+
+    def __len__(self):
+        return len(self.img_files)
+
+    def __iter__(self) -> Iterator[Frame]:
+        for i in range(len(self.img_files)):
+            K = self.K
+            if self.all_K is not None:
+                a = self.all_K[i]
+                K = np.array(
+                    [[a[0, 0], 0, a[0, 2]], [0, a[1, 1], a[1, 2]], [0, 0, 1]], np.float32
+                )
+            image = np.asarray(Image.open(self.img_files[i]).convert("RGB"))
+            depth = _load_depth_png(self.depth_files[i], self.depth_scale)
+            if self.scales is not None:
+                depth = depth / float(self.scales[i])
+            image = _resize_rgb(image, (depth.shape[1], depth.shape[0]))
+            image = _resize_rgb(image, self.size)
+            depth = _resize_depth(depth, self.size)
+
+            pose = self.poses[i]
+            if self._first_camera is None:
+                self._first_camera = check_first_camera(pose)
+            yield self._finalize(
+                image, depth, K, K, pose, self.video_id, i,
+                first_camera=bool(self._first_camera),
+            )
+
+
+def get_dataset(cfg):
+    """Dataset factory (reference tools/utils.py:290-300)."""
+    name = str(cfg["dataset"]).lower()
+    if name == "scannet":
+        return ScannetDataset(cfg)
+    if name in ("ca1m", "online"):
+        return CA1MDataset(cfg)
+    raise ValueError(f"Unknown dataset '{cfg['dataset']}'")

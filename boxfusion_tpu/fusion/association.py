@@ -30,7 +30,7 @@ from boxfusion_tpu.geometry.projection import (
 )
 
 
-def _bucket(n: int, quantum: int = 128) -> int:
+def _bucket(n: int, quantum: int = 32) -> int:
     return max(quantum, ((n + quantum - 1) // quantum) * quantum)
 
 
@@ -65,7 +65,7 @@ def iou_block(corners_a: np.ndarray, corners_b: np.ndarray, samples: int = 25) -
     ma = np.arange(pa) < A
     mb = np.arange(pb) < B
     out = _iou_block_jit(jnp.asarray(ca), jnp.asarray(cb), jnp.asarray(ma), jnp.asarray(mb), samples)
-    return np.asarray(out)[:A, :B]
+    return np.array(out[:A, :B])
 
 
 @partial(jax.jit, static_argnames=("H", "W"))
@@ -99,7 +99,7 @@ def project_observation_corners(
     out = _project_corners_jit(
         corners, jnp.asarray(poses), jnp.asarray(K), float(H), float(W)
     )
-    return np.asarray(out)[:n]
+    return np.array(out[:n])
 
 
 @partial(jax.jit, static_argnames=("H", "W"))
@@ -131,4 +131,4 @@ def project_global_boxes_2d(
     out = _project_boxes2d_jit(
         corners, jnp.asarray(K), jnp.asarray(cam_pose), float(H), float(W)
     )
-    return np.asarray(out)[:g]
+    return np.array(out[:g])

@@ -117,48 +117,63 @@ def _shoelace(poly: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarray:
     return jnp.abs(jnp.sum(terms)) / 2.0
 
 
-def _clip_halfplane(poly, count, n, d, plane_valid):
-    """One Sutherland-Hodgman step: clip padded polygon by n.x + d >= 0."""
-    V = poly.shape[0]
-    idx = jnp.arange(V)
-    nxt_idx = jnp.where(idx + 1 >= count, 0, idx + 1)
-    cur = poly
-    nxt = poly[nxt_idx]
+def _signed_area_ccw(hull: jnp.ndarray) -> jnp.ndarray:
+    """Signed shoelace sum (positive for CCW) over an 8-vertex closed hull."""
+    nxt = jnp.roll(hull, -1, axis=0)
+    return jnp.sum(hull[:, 0] * nxt[:, 1] - nxt[:, 0] * hull[:, 1]) / 2.0
 
-    s_cur = jnp.sum(cur * n, axis=-1) + d
-    s_nxt = jnp.sum(nxt * n, axis=-1) + d
-    in_cur = s_cur >= -_EPS
-    in_nxt = s_nxt >= -_EPS
 
-    denom = s_cur - s_nxt
-    t = s_cur / jnp.where(jnp.abs(denom) < _EPS, _EPS, denom)
-    inter = cur + t[:, None] * (nxt - cur)
+def _clipped_boundary_integral(hull: jnp.ndarray, planes, tol_sign: float) -> jnp.ndarray:
+    """Green's-theorem line integral of one polygon's edges clipped to the
+    other polygon's half-planes.
 
-    active = idx < count
-    emit_cur = in_cur & active
-    emit_inter = (in_cur != in_nxt) & active
+    Each CCW edge p->q of `hull` intersects a convex region in a single
+    parameter interval [t0, t1] (Liang-Barsky against every half-plane);
+    the segment p(t0)->p(t1) contributes cross(p(t0), p(t1)) to the closed
+    boundary integral (= 2x area when both polygons' contributions are
+    summed).  `tol_sign` breaks ties on shared collinear boundaries: +1
+    (inclusive) for the first polygon, -1 (exclusive) for the second, so a
+    shared edge is counted exactly once.
 
-    counts = emit_cur.astype(jnp.int32) + emit_inter.astype(jnp.int32)
-    offs = jnp.cumsum(counts) - counts  # start offset per input edge
+    Pure min/max reductions: no sort, no scatter (TPU-safe).
+    """
+    n, d, valid = planes
+    p = hull
+    e = jnp.roll(hull, -1, axis=0) - hull  # (8, 2)
 
-    out = jnp.zeros_like(poly)
-    pos_cur = jnp.where(emit_cur, offs, V)  # V = out of bounds -> dropped
-    out = out.at[pos_cur].set(cur, mode="drop")
-    pos_int = jnp.where(emit_inter, offs + emit_cur.astype(jnp.int32), V)
-    out = out.at[pos_int].set(inter, mode="drop")
-    new_count = jnp.sum(counts)
+    sp = p @ n.T + d[None]  # (8, 28) signed distance at edge start
+    se = e @ n.T  # (8, 28) change along edge
+    sq = sp + se
 
-    keep = jnp.logical_not(plane_valid)
-    return (
-        jnp.where(keep, poly, out),
-        jnp.where(keep, count, new_count),
-    )
+    tol = (2e-5 * jnp.max(jnp.abs(sp), axis=0, keepdims=True) + 1e-9) * (-tol_sign)
+
+    inside_p = sp >= tol
+    inside_q = sq >= tol
+    denom = jnp.where(jnp.abs(se) < _EPS, _EPS, -se)  # sp - sq = -se
+    t_star = (sp - tol) / denom
+
+    entering = (~inside_p) & inside_q & valid[None]
+    exiting = inside_p & (~inside_q) & valid[None]
+    both_out = (~inside_p) & (~inside_q) & valid[None]
+
+    t0 = jnp.max(jnp.where(entering, t_star, 0.0), axis=1)
+    t1 = jnp.min(jnp.where(exiting, t_star, 1.0), axis=1)
+    empty = jnp.any(both_out, axis=1) | (t0 >= t1)
+
+    a = p + t0[:, None] * e
+    b = p + t1[:, None] * e
+    contrib = a[:, 0] * b[:, 1] - b[:, 0] * a[:, 1]
+    return jnp.sum(jnp.where(empty, 0.0, contrib))
 
 
 def convex_polygon_iou(pts_a: jnp.ndarray, pts_b: jnp.ndarray) -> jnp.ndarray:
     """IoU of the convex hulls of two 8-point sets (one cell of the kernel).
 
-    Matches the CUDA hull/clip/shoelace pipeline (box_fusion.py:364-398).
+    Functional equivalent of the CUDA hull / polygon-intersection / shoelace
+    pipeline (box_fusion.py:95-261, 364-398), re-derived for TPU: the
+    intersection *area* is computed directly as a Green's-theorem boundary
+    integral over each hull's edges clipped against the other hull's
+    half-planes -- fixed shapes, no heap, no sort, no scatter.
 
     Args:
       pts_a, pts_b: (8, 2).
@@ -172,24 +187,18 @@ def convex_polygon_iou(pts_a: jnp.ndarray, pts_b: jnp.ndarray) -> jnp.ndarray:
     pts_a = pts_a - center
     pts_b = pts_b - center
 
-    hull_a = _ordered_hull(pts_a)  # (8, 2) ordered, padded with repeats
+    hull_a = _ordered_hull(pts_a)  # (8, 2) CCW (ascending angle), repeats ok
     hull_b = _ordered_hull(pts_b)
+    area_a = jnp.abs(_signed_area_ccw(hull_a))
+    area_b = jnp.abs(_signed_area_ccw(hull_b))
 
-    area_a = _shoelace(hull_a, jnp.int32(8))
-    area_b = _shoelace(hull_b, jnp.int32(8))
+    planes_a = _hull_halfplanes(pts_a)
+    planes_b = _hull_halfplanes(pts_b)
 
-    poly = jnp.zeros((MAX_VERTS, 2), pts_a.dtype).at[:8].set(hull_a)
-    count = jnp.int32(8)
-
-    n, d, valid = _hull_halfplanes(pts_b)
-
-    def body(p, plane):
-        poly, count = p
-        nn, dd, vv = plane
-        return _clip_halfplane(poly, count, nn, dd, vv), None
-
-    (poly, count), _ = jax.lax.scan(body, (poly, count), (n, d, valid))
-    inter = _shoelace(poly, count)
+    inter2 = _clipped_boundary_integral(hull_a, planes_b, +1.0) + _clipped_boundary_integral(
+        hull_b, planes_a, -1.0
+    )
+    inter = jnp.maximum(inter2 / 2.0, 0.0)
     # convex intersection can never exceed either hull; clamp float noise.
     inter = jnp.minimum(inter, jnp.minimum(area_a, area_b))
 
@@ -259,8 +268,12 @@ def multiview_fitness(
     t = cam_poses[:, :3, 3]  # (V, 3)
     rel = corners[None] - t[:, None, None]  # (V, P, 8, 3)
     cam = jnp.einsum("vji,vpkj->vpki", rot, rel)
-    u = K[0, 0] * cam[..., 0] / cam[..., 2] + K[0, 2]
-    v = K[1, 1] * cam[..., 1] / cam[..., 2] + K[1, 2]
+    # guard z ~ 0 (e.g. padded view slots) against NaN; clamping bounds the
+    # result exactly like the reference's uv clamp (box_fusion.py:359-360).
+    z = cam[..., 2]
+    z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = K[0, 0] * cam[..., 0] / z + K[0, 2]
+    v = K[1, 1] * cam[..., 1] / z + K[1, 2]
     u = jnp.clip(u, 0.0, W)
     v = jnp.clip(v, 0.0, H)
     uv = jnp.stack([u, v], axis=-1)  # (V, P, 8, 2)
@@ -270,5 +283,6 @@ def multiview_fitness(
     flat_b = jnp.broadcast_to(obs_corners[:, None], (Vn, P, 8, 2)).reshape(Vn * P, 8, 2)
     iou = jax.vmap(convex_polygon_iou)(flat_a, flat_b).reshape(Vn, P)
 
-    err = jnp.abs(1.0 - iou) * view_mask[:, None]
+    # where-mask (not multiply) so NaNs from padded view slots cannot leak.
+    err = jnp.where(view_mask[:, None] > 0, jnp.abs(1.0 - iou), 0.0)
     return jnp.sum(err, axis=0) / (jnp.sum(view_mask) + 1e-6)

@@ -1,0 +1,177 @@
+"""Open-vocabulary labeling head: CLIP crops vs precomputed text features.
+
+Capability target: the reference's per-keyframe labeling path
+(tools/utils.py:355-494 + demo.py:161-171):
+
+  * ``scale_boxes`` x1.5 around fixed centers (tools/utils.py:355-381);
+  * crop each detection, resize to 224x224 (zero-size crops -> black,
+    tools/utils.py:395), batch-encode with CLIP;
+  * cosine scores ``100 * img @ text.T`` against the precomputed class
+    features, with an appended "background" column at ``sim_thres`` so
+    low-similarity boxes get the empty label and are dropped
+    (tools/utils.py:478-494).
+
+TPU-first inversion: crop+resize is a batched ``scale_and_translate`` on
+device (one fused op over all boxes) instead of a host PIL loop, and the
+crops ride along into the jitted CLIP tower.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from boxfusion_tpu.models.clip.model import (
+    CLIP_IMAGE_MEAN,
+    CLIP_IMAGE_STD,
+    CLIPConfig,
+    CLIPImageTower,
+)
+
+CROP = 224
+
+
+def scale_boxes(boxes: np.ndarray, H: int, W: int, scale: float = 1.2) -> np.ndarray:
+    """Scale xyxy boxes about their centers, clipped to the image
+    (tools/utils.py:355-381)."""
+    cx = (boxes[:, 0] + boxes[:, 2]) / 2
+    cy = (boxes[:, 1] + boxes[:, 3]) / 2
+    w = (boxes[:, 2] - boxes[:, 0]) * scale
+    h = (boxes[:, 3] - boxes[:, 1]) * scale
+    return np.stack(
+        [
+            np.clip(cx - w / 2, 0, W),
+            np.clip(cy - h / 2, 0, H),
+            np.clip(cx + w / 2, 0, W),
+            np.clip(cy + h / 2, 0, H),
+        ],
+        axis=1,
+    )
+
+
+@jax.jit
+def batched_crop_resize(image: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    """Crop + bilinear-resize every box to 224x224 in one fused device op.
+
+    Args:
+      image: (H, W, 3) float32 in [0, 255].
+      boxes: (N, 4) xyxy (float).  Degenerate boxes produce black crops
+        (tools/utils.py:395).
+
+    Returns:
+      (N, 224, 224, 3) crops.
+    """
+
+    def one(box):
+        x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+        # integer crop bounds like the reference's array slicing
+        x1i, y1i = jnp.floor(x1), jnp.floor(y1)
+        x2i, y2i = jnp.floor(x2), jnp.floor(y2)
+        w = x2i - x1i
+        h = y2i - y1i
+        ok = (w > 0) & (h > 0)
+        sw = CROP / jnp.maximum(w, 1.0)
+        sh = CROP / jnp.maximum(h, 1.0)
+        out = jax.image.scale_and_translate(
+            image,
+            (CROP, CROP, 3),
+            (0, 1),
+            jnp.stack([sh, sw]),
+            jnp.stack([-y1i * sh, -x1i * sw]),
+            method="bilinear",
+            antialias=False,
+        )
+        return jnp.where(ok, out, 0.0)
+
+    return jax.vmap(one)(boxes)
+
+
+class OpenVocabLabeler:
+    """Callable: (image, boxes xyxy) -> (categories, features, sims)."""
+
+    def __init__(
+        self,
+        class_list: List[str],
+        text_features: np.ndarray,
+        image_params=None,
+        cfg: Optional[CLIPConfig] = None,
+        sim_thres: float = 0.0,
+        max_boxes: int = 128,
+    ):
+        self.class_list = np.asarray(list(class_list))
+        tf = np.asarray(text_features, np.float32)
+        self.text_features = tf / np.linalg.norm(tf, axis=-1, keepdims=True)
+        self.sim_thres = float(sim_thres)
+        self.max_boxes = max_boxes
+        self.cfg = cfg or CLIPConfig()
+        self.tower = CLIPImageTower(self.cfg)
+        self.params = image_params
+        self._encode = jax.jit(self._encode_impl)
+
+    def _encode_impl(self, image, boxes):
+        crops = batched_crop_resize(image, boxes)
+        crops = (crops / 255.0 - jnp.asarray(CLIP_IMAGE_MEAN)) / jnp.asarray(CLIP_IMAGE_STD)
+        feats = self.tower.apply(self.params, crops)
+        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        sims = 100.0 * feats @ jnp.asarray(self.text_features).T
+        return feats, sims
+
+    def init_random(self, seed: int = 0):
+        """Random-init weights (full compute path without real CLIP weights)."""
+        self.params = jax.jit(self.tower.init)(
+            jax.random.PRNGKey(seed), jnp.zeros((1, CROP, CROP, 3))
+        )
+        return self
+
+    def __call__(self, image: np.ndarray, boxes: np.ndarray):
+        n = boxes.shape[0]
+        if n == 0:
+            return [], np.zeros((0, self.text_features.shape[1]), np.float32), np.zeros(0)
+        pad = self.max_boxes if n <= self.max_boxes else ((n + 31) // 32) * 32
+        b = np.zeros((pad, 4), np.float32)
+        b[:n] = boxes
+        feats, sims = self._encode(jnp.asarray(image, jnp.float32), jnp.asarray(b))
+        feats = np.asarray(feats)[:n]
+        sims = np.asarray(sims)[:n]
+
+        # background column at sim_thres (tools/utils.py:488-494)
+        scores = np.concatenate([sims, np.full((n, 1), self.sim_thres, np.float32)], 1)
+        classes = np.concatenate([self.class_list, [""]])
+        best = scores.argmax(axis=-1)
+        categories = list(classes[best])
+        max_values = scores.max(axis=-1)
+        return categories, feats, max_values
+
+
+def load_class_features(path: str) -> np.ndarray:
+    """Load the precomputed text features (.pt via torch, or .npy)."""
+    if path.endswith(".npy"):
+        return np.load(path)
+    import torch
+
+    t = torch.load(path, map_location="cpu", weights_only=True)
+    return t.float().numpy()
+
+
+def build_labeler(
+    clip_path: Optional[str],
+    class_txt: str,
+    class_features: str,
+    sim_thres: float = 0.0,
+) -> OpenVocabLabeler:
+    """Assemble the labeler from the reference's assets (demo.py:458-461)."""
+    class_list = list(np.genfromtxt(class_txt, delimiter="\n", dtype=str))
+    tf = load_class_features(class_features)
+    labeler = OpenVocabLabeler(class_list, tf, sim_thres=sim_thres)
+    if clip_path:
+        from boxfusion_tpu.models.clip.convert import load_clip_image_params
+
+        labeler.params, labeler.cfg = load_clip_image_params(clip_path)
+        labeler.tower = CLIPImageTower(labeler.cfg)
+        labeler._encode = jax.jit(labeler._encode_impl)
+    else:
+        labeler.init_random()
+    return labeler

@@ -1,0 +1,131 @@
+"""Visualization: rerun logging of the online box stream.
+
+Capability target: the rerun Blueprint + per-frame logging of the reference
+(demo.py:34-65,174-197) and ``visualize_online_boxes``
+(tools/utils.py:37-96), plus the box-mesh PLY export (tools/utils.py:99-140,
+without the open3d dependency -- PLY is written directly).
+
+All rerun calls are gated on the SDK being importable; without it the
+functions are no-ops so the pipeline runs headless.
+"""
+from __future__ import annotations
+
+import colorsys
+from typing import Optional
+
+import numpy as np
+
+try:
+    import rerun  # type: ignore
+
+    HAS_RERUN = True
+except Exception:  # pragma: no cover - rerun not installed in CI image
+    rerun = None
+    HAS_RERUN = False
+
+
+def random_color_v2(t: float):
+    """Hue-spread color ramp (reference color.py:100-107 equivalent)."""
+    r, g, b = colorsys.hsv_to_rgb(t % 1.0, 0.85, 0.95)
+    return [int(255 * r), int(255 * g), int(255 * b)]
+
+
+def init_recording(video_id: str):
+    if not HAS_RERUN:
+        return None
+    rec = rerun.new_recording(application_id=str(video_id), make_default=True)
+    rerun.spawn()
+    return rec
+
+
+def log_frame(frame, pose: np.ndarray) -> None:
+    """Log camera pose + image + depth (demo.py:174-190)."""
+    if not HAS_RERUN:
+        return
+    from scipy.spatial.transform import Rotation
+
+    tf = rerun.Transform3D(
+        translation=pose[:3, 3],
+        rotation=rerun.Quaternion(xyzw=Rotation.from_matrix(pose[:3, :3]).as_quat()),
+    )
+    cam = rerun.Pinhole(
+        image_from_camera=frame.K, resolution=(frame.image.shape[1], frame.image.shape[0])
+    )
+    rerun.log("/device/wide/image", tf)
+    rerun.log("/device/wide/image", rerun.Image(frame.image).compress())
+    rerun.log("/device/wide/image", cam)
+    if frame.depth is not None:
+        rerun.log("/device/wide/depth", rerun.DepthImage(frame.depth))
+
+
+def visualize_online_boxes(
+    world,
+    prefix: str = "/device/wide",
+    log_instances_name: str = "pred_instances",
+    show_class: bool = False,
+    show_label: bool = True,
+) -> None:
+    """Log the fused world box set (tools/utils.py:37-96)."""
+    if not HAS_RERUN or len(world) == 0:
+        return
+    from scipy.spatial.transform import Rotation
+
+    n = len(world)
+    centers = world.arrays["xyzlhw"][:, :3]
+    sizes = world.arrays["xyzlhw"][:, 3:]
+    quats = [
+        rerun.Quaternion(xyzw=Rotation.from_matrix(world.arrays["R"][i]).as_quat())
+        for i in range(n)
+    ]
+    colors = [random_color_v2(i / n) for i in range(n)]
+    labels = (
+        list(world.categories) if show_class else [str(i) for i in range(n)]
+    )
+    rerun.log(
+        f"{prefix}/{log_instances_name}",
+        rerun.Boxes3D(
+            centers=centers,
+            sizes=sizes,
+            quaternions=quats,
+            colors=colors,
+            labels=labels,
+            show_labels=show_label,
+        ),
+    )
+
+
+def boxes3d_to_ply(sizes, centers, colors, rotations, output_path: str) -> None:
+    """Export boxes as a triangle mesh PLY (tools/utils.py:99-140), written
+    directly (ascii PLY) instead of via open3d."""
+    tmpl = np.array(
+        [[-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+         [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]],
+        np.float64,
+    )
+    faces_tmpl = np.array(
+        [[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7], [0, 1, 5], [0, 5, 4],
+         [1, 2, 6], [1, 6, 5], [2, 3, 7], [2, 7, 6], [3, 0, 4], [3, 4, 7]],
+        np.int32,
+    )
+    verts, faces, vcols = [], [], []
+    for i in range(len(centers)):
+        c = tmpl * (np.asarray(sizes[i]) / 2.0)
+        c = c @ np.asarray(rotations[i]).T + np.asarray(centers[i])
+        verts.append(c)
+        faces.append(faces_tmpl + 8 * i)
+        vcols.extend([colors[i]] * 8)
+    v = np.vstack(verts)
+    f = np.vstack(faces)
+    with open(output_path, "w") as fh:
+        fh.write(
+            "ply\nformat ascii 1.0\n"
+            f"element vertex {len(v)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            f"element face {len(f)}\n"
+            "property list uchar int vertex_indices\nend_header\n"
+        )
+        for p, col in zip(v, vcols):
+            fh.write(f"{p[0]} {p[1]} {p[2]} {int(col[0])} {int(col[1])} {int(col[2])}\n")
+        for tri in f:
+            fh.write(f"3 {tri[0]} {tri[1]} {tri[2]}\n")

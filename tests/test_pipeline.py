@@ -1,0 +1,89 @@
+"""Integration tests: the online pipeline on a deterministic synthetic scene.
+
+This is the closed-form end-to-end test the reference lacks (SURVEY.md
+section 4): known world boxes + known camera ring -> association and fusion
+outcomes are predictable.
+"""
+import numpy as np
+import pytest
+
+from boxfusion_tpu.data.synthetic import OracleDetector, SyntheticSequence
+from boxfusion_tpu.runtime import OnlinePipeline
+from boxfusion_tpu.utils.config import load_config
+
+
+def _match_gt(world_xyzlhw, gt_xyzlhw):
+    """Greedy center matching; returns per-gt best center distance."""
+    d = np.linalg.norm(
+        world_xyzlhw[:, None, :3] - gt_xyzlhw[None, :, :3], axis=-1
+    )
+    return d.min(axis=0)
+
+
+def _small_caps(c):
+    """Small static capacities so CPU CI runs fast (TPU defaults are larger)."""
+    c["data"]._data["gap"] = 5
+    c["detection"]._data["uv_bound"] = False
+    c["detection"]._data["floor_mask"] = False
+    c["box_fusion"]._data["pst_path"] = None
+    c["box_fusion"]._data["pst_size"] = 128
+    c["box_fusion"]._data["iters"] = 8
+    c["box_fusion"]._data["max_fusions_per_frame"] = 4
+    c["association"]._data["max_views"] = 5
+    return c
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    c = _small_caps(load_config("config/ca1m.yaml"))
+    c["detection"]._data["score_thresh"] = 0.3
+    return c
+
+
+def test_pipeline_oracle_noiseless(cfg):
+    seq = SyntheticSequence(n_frames=30, n_boxes=5, seed=0)
+    det = OracleDetector(seq, noise=0.0)
+    pipe = OnlinePipeline(cfg, det)
+    world = pipe.run(seq, gap=5)
+
+    # every GT box should be represented exactly once (NMS dedupes the
+    # re-detections across keyframes)
+    assert len(world) == seq.n_boxes, (len(world), seq.n_boxes)
+    dists = _match_gt(world.arrays["xyzlhw"], seq.gt_xyzlhw)
+    assert np.all(dists < 0.05), dists
+
+
+def test_pipeline_oracle_noisy_fusion_improves(cfg):
+    seq = SyntheticSequence(n_frames=40, n_boxes=4, seed=1)
+    det = OracleDetector(seq, noise=0.04, seed=2)
+    pipe = OnlinePipeline(cfg, det)
+    world = pipe.run(seq, gap=5)
+
+    assert len(world) >= seq.n_boxes  # noise may split an object occasionally
+    dists = _match_gt(world.arrays["xyzlhw"], seq.gt_xyzlhw)
+    assert np.all(dists < 0.15), dists
+    # at least one object should have been multi-view fused
+    assert any(f == 1 for f in pipe.manager.fusion_flag)
+
+
+def test_pipeline_fusion_off(cfg):
+    c = _small_caps(load_config("config/ca1m.yaml"))
+    c["box_fusion"]._data["use"] = False
+    seq = SyntheticSequence(n_frames=20, n_boxes=3, seed=3)
+    pipe = OnlinePipeline(c, OracleDetector(seq))
+    world = pipe.run(seq, gap=5)
+    assert len(world) == 3
+    assert not any(pipe.manager.fusion_flag)
+
+
+def test_pipeline_save_outputs(cfg, tmp_path):
+    from boxfusion_tpu.utils.io import load_data, save_world_boxes
+
+    seq = SyntheticSequence(n_frames=15, n_boxes=3, seed=4)
+    pipe = OnlinePipeline(cfg, OracleDetector(seq))
+    world = pipe.run(seq, gap=5)
+    path = save_world_boxes(world, ["object"], str(tmp_path), "synthetic")
+    data = load_data(path)
+    assert len(data) == 1 and len(data[0]) == len(world)
+    cls, corners, feat = data[0][0]
+    assert corners.shape == (8, 3)

@@ -1,0 +1,86 @@
+"""Tests for the training stack and mesh shardings."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from boxfusion_tpu.train.loss import detection_loss, greedy_match
+
+
+def test_greedy_match_simple():
+    cost = jnp.array([[0.0, 5.0], [5.0, 0.0], [2.0, 2.0]])  # (Q=3, G=2)
+    a = greedy_match(cost, jnp.ones(2, bool))
+    np.testing.assert_array_equal(np.asarray(a), [0, 1])
+
+
+def test_greedy_match_no_double_assign():
+    # query 0 is cheapest for both GTs; second GT must take the next best
+    cost = jnp.array([[0.0, 0.1], [1.0, 0.5], [2.0, 2.0]])
+    a = greedy_match(cost, jnp.ones(2, bool))
+    assert a[0] == 0 and a[1] == 1
+
+
+def test_detection_loss_finite_and_improves_with_match():
+    rng = np.random.RandomState(0)
+    Q, G = 20, 3
+    pred = dict(
+        logits=jnp.asarray(rng.randn(Q, 2), jnp.float32),
+        boxes=jnp.asarray(rng.uniform(0, 256, (Q, 4)), jnp.float32),
+        proj_xy=jnp.asarray(rng.uniform(0, 256, (Q, 2)), jnp.float32),
+        z_scaled=jnp.asarray(rng.uniform(0.5, 3, (Q, 1)), jnp.float32),
+        dims=jnp.asarray(rng.uniform(0.1, 1, (Q, 3)), jnp.float32),
+        pose=jnp.tile(jnp.eye(3)[None], (Q, 1, 1)),
+    )
+    tgt = dict(
+        boxes2d=pred["boxes"][:G],
+        proj_xy=pred["proj_xy"][:G],
+        z=pred["z_scaled"][:G],
+        dims=pred["dims"][:G],
+        pose=pred["pose"][:G],
+        mask=jnp.ones(G),
+    )
+    out = jax.jit(lambda p, t: detection_loss(p, t, 256.0))(pred, tgt)
+    assert np.isfinite(float(out["total"]))
+    # regression terms should be ~0 since targets equal some predictions
+    assert float(out["box2d"]) < 1e-5
+    assert float(out["dims"]) < 1e-5
+
+
+def test_train_step_reduces_loss():
+    from boxfusion_tpu.models.cutr import make_cutr
+    from boxfusion_tpu.train.step import init_train_state, make_train_step
+    from __graft_entry__ import _example_batch
+
+    model = make_cutr(dimension=192, depth_model=True)
+    batch = _example_batch(S=256, r=4, B=1)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+
+    rng = np.random.RandomState(1)
+    G = 4
+    targets = dict(
+        boxes2d=jnp.asarray(rng.uniform(50, 200, (1, G, 4)), jnp.float32),
+        proj_xy=jnp.asarray(rng.uniform(0, 256, (1, G, 2)), jnp.float32),
+        z=jnp.asarray(rng.uniform(0.5, 4.0, (1, G, 1)), jnp.float32),
+        dims=jnp.asarray(rng.uniform(0.1, 1.0, (1, G, 3)), jnp.float32),
+        pose=jnp.tile(jnp.eye(3)[None, None], (1, G, 1, 1)),
+        mask=jnp.ones((1, G)),
+    )
+    train_step, tx = make_train_step(model, learning_rate=1e-4)
+    state = init_train_state(model, params, tx)
+    step = jax.jit(train_step)
+    state, m0 = step(state, batch, targets)
+    for _ in range(4):
+        state, m = step(state, batch, targets)
+    assert float(m["loss"]) < float(m0["loss"]), (float(m0["loss"]), float(m["loss"]))
+
+
+def test_mesh_shardings_divisibility():
+    from boxfusion_tpu.parallel.mesh import make_mesh, param_shardings
+
+    mesh = make_mesh(8)
+    assert dict(mesh.shape) == {"dp": 2, "fsdp": 2, "tp": 2}
+    # odd-shaped kernels must not be sharded on axes they don't divide
+    params = {"a": {"kernel": jnp.zeros((255, 256))}, "b": {"kernel": jnp.zeros((256, 512))}}
+    sh = param_shardings(params, mesh)
+    assert sh["a"]["kernel"].spec == jax.sharding.PartitionSpec(None, "tp")
+    assert sh["b"]["kernel"].spec == jax.sharding.PartitionSpec("fsdp", "tp")
