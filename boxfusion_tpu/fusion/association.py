@@ -34,6 +34,121 @@ def _bucket(n: int, quantum: int = 32) -> int:
     return max(quantum, ((n + quantum - 1) // quantum) * quantum)
 
 
+MAX_GATED_PAIRS = 1024
+
+
+@partial(jax.jit, static_argnames=("H", "W", "samples"))
+def _keyframe_geometry_jit(
+    new_t, new_R, new_poses, all_t, all_R, mask_new, mask_all,
+    K_depth, cur_pose, H, W, samples,
+):
+    """All association geometry for one keyframe in a single device call.
+
+    Host<->device round trips dominate keyframe latency on remote-attached
+    TPUs, so everything the host logic needs -- observation corner
+    projections, the new-vs-all OBB IoU rows, and the global-box 2D
+    projections for the correspondence pass -- is fused into one jit.
+
+    The IoU rows are computed two-phase: the cheap vertex-containment gate
+    (the reference's check_intersection, instances.py:514-557) runs densely
+    over all (new x all) pairs, then the 25^3 grid-sampled volumetric IoU
+    runs only on the top MAX_GATED_PAIRS gated pairs -- the gate already
+    forces IoU = 0 everywhere else in the reference's own semantics
+    (instances.py:611-613).  Results come back as (pair index, value) lists
+    so the host scatters into its cache (no device scatter).
+    """
+    from boxfusion_tpu.geometry.iou import obb_intersect_mask
+
+    new_corners3d = box_corners(new_t, new_R)
+    corners2d = project_corners_to_image(new_corners3d, new_poses, K_depth, H, W)
+
+    all_corners3d = box_corners(all_t, all_R)
+
+    gate = jax.vmap(
+        lambda ca, ma: jax.vmap(
+            lambda cb, mb: ma & mb & obb_intersect_mask(ca, cb)
+        )(all_corners3d, mask_all)
+    )(new_corners3d, mask_new)  # (Nn, Na) bool
+
+    flat = gate.reshape(-1)
+    k = min(MAX_GATED_PAIRS, flat.shape[0])
+    _, pair_idx = jax.lax.top_k(flat.astype(jnp.int32), k)
+    na = all_corners3d.shape[0]
+    ia = pair_idx // na
+    ib = pair_idx % na
+
+    def pair_val(i, j, on):
+        return jnp.where(on, obb_grid_iou(new_corners3d[i], all_corners3d[j], samples), 0.0)
+
+    vals = jax.vmap(pair_val)(ia, ib, flat[pair_idx])
+    n_gated = jnp.sum(flat)
+
+    proj2d = project_boxes_to_2d(all_corners3d, K_depth, cur_pose, H, W)
+    return corners2d, pair_idx, vals, n_gated, proj2d
+
+
+def keyframe_geometry(
+    new_t: np.ndarray,
+    new_R: np.ndarray,
+    new_poses: np.ndarray,
+    all_t: np.ndarray,
+    all_R: np.ndarray,
+    K_depth: np.ndarray,
+    cur_pose: np.ndarray,
+    H: float,
+    W: float,
+    samples: int = 25,
+):
+    """Padded wrapper for `_keyframe_geometry_jit`.
+
+    Returns (corners2d (Nn, 8, 2), iou_rows (Nn, Na), proj2d_all (Na, 4)).
+    """
+    nn_, na = new_t.shape[0], all_t.shape[0]
+    pn, pa = _bucket(nn_), _bucket(na)
+
+    def padt(t, p):
+        o = np.zeros((p, 6), np.float32)
+        o[: t.shape[0]] = t
+        o[t.shape[0]:, 3:] = 1.0
+        return o
+
+    def padr(r, p):
+        o = np.tile(np.eye(3, dtype=np.float32), (p, 1, 1))
+        o[: r.shape[0]] = r
+        return o
+
+    poses = np.tile(np.eye(4, dtype=np.float32), (pn, 1, 1))
+    poses[:nn_] = new_poses
+    c2d, pair_idx, vals, n_gated, proj = _keyframe_geometry_jit(
+        jnp.asarray(padt(new_t, pn)),
+        jnp.asarray(padr(new_R, pn)),
+        jnp.asarray(poses),
+        jnp.asarray(padt(all_t, pa)),
+        jnp.asarray(padr(all_R, pa)),
+        jnp.asarray(np.arange(pn) < nn_),
+        jnp.asarray(np.arange(pa) < na),
+        jnp.asarray(K_depth, jnp.float32),
+        jnp.asarray(cur_pose, jnp.float32),
+        float(H),
+        float(W),
+        samples,
+    )
+    if int(n_gated) > MAX_GATED_PAIRS:
+        import warnings
+
+        warnings.warn(
+            f"{int(n_gated)} gated IoU pairs exceed budget {MAX_GATED_PAIRS}; "
+            "excess pairs treated as IoU 0"
+        )
+    rows = np.zeros((pn, pa), np.float32)
+    rows.reshape(-1)[np.asarray(pair_idx)] = np.asarray(vals)
+    return (
+        np.array(c2d[:nn_]),
+        rows[:nn_, :na],
+        np.array(proj[:na]),
+    )
+
+
 @partial(jax.jit, static_argnames=("samples",))
 def _iou_block_jit(corners_a, corners_b, mask_a, mask_b, samples: int = 25):
     def row(ca, ma):
@@ -69,7 +184,8 @@ def iou_block(corners_a: np.ndarray, corners_b: np.ndarray, samples: int = 25) -
 
 
 @partial(jax.jit, static_argnames=("H", "W"))
-def _project_corners_jit(corners, cam_pose, K, H, W):
+def _project_corners_jit(t, r, cam_pose, K, H, W):
+    corners = box_corners(t, r)
     return project_corners_to_image(corners, cam_pose, K, H, W)
 
 
@@ -95,15 +211,15 @@ def project_observation_corners(
     r[:n] = R
     poses = np.tile(np.eye(4, dtype=np.float32), (p, 1, 1))
     poses[:n] = cam_pose
-    corners = box_corners(jnp.asarray(t), jnp.asarray(r))
     out = _project_corners_jit(
-        corners, jnp.asarray(poses), jnp.asarray(K), float(H), float(W)
+        jnp.asarray(t), jnp.asarray(r), jnp.asarray(poses), jnp.asarray(K), float(H), float(W)
     )
     return np.array(out[:n])
 
 
 @partial(jax.jit, static_argnames=("H", "W"))
-def _project_boxes2d_jit(corners, K, cam_pose, H, W):
+def _project_boxes2d_jit(t, r, K, cam_pose, H, W):
+    corners = box_corners(t, r)
     return project_boxes_to_2d(corners, K, cam_pose, H, W)
 
 
@@ -127,8 +243,7 @@ def project_global_boxes_2d(
     t[g:, 3:] = 1.0
     r = np.tile(np.eye(3, dtype=np.float32), (p, 1, 1))
     r[:g] = R
-    corners = box_corners(jnp.asarray(t), jnp.asarray(r))
     out = _project_boxes2d_jit(
-        corners, jnp.asarray(K), jnp.asarray(cam_pose), float(H), float(W)
+        jnp.asarray(t), jnp.asarray(r), jnp.asarray(K), jnp.asarray(cam_pose), float(H), float(W)
     )
     return np.array(out[:g])

@@ -166,6 +166,35 @@ def _clipped_boundary_integral(hull: jnp.ndarray, planes, tol_sign: float) -> jn
     return jnp.sum(jnp.where(empty, 0.0, contrib))
 
 
+def prepare_polygon(pts: jnp.ndarray):
+    """Hull + half-planes + area of one 8-point set (reusable across pairs).
+
+    Args:
+      pts: (8, 2), pre-centered by the caller.
+
+    Returns:
+      (hull (8, 2) CCW, planes (n, d, valid), area scalar).
+    """
+    hull = _ordered_hull(pts)
+    area = jnp.abs(_signed_area_ccw(hull))
+    planes = _hull_halfplanes(pts)
+    return hull, planes, area
+
+
+def prepared_polygon_iou(prep_a, prep_b) -> jnp.ndarray:
+    """IoU of two `prepare_polygon` outputs (Green's-theorem integral)."""
+    hull_a, planes_a, area_a = prep_a
+    hull_b, planes_b, area_b = prep_b
+    inter2 = _clipped_boundary_integral(hull_a, planes_b, +1.0) + _clipped_boundary_integral(
+        hull_b, planes_a, -1.0
+    )
+    inter = jnp.maximum(inter2 / 2.0, 0.0)
+    # convex intersection can never exceed either hull; clamp float noise.
+    inter = jnp.minimum(inter, jnp.minimum(area_a, area_b))
+    union = area_a + area_b - inter
+    return jnp.where(union > 0, inter / (union + 1e-5), 0.0)
+
+
 def convex_polygon_iou(pts_a: jnp.ndarray, pts_b: jnp.ndarray) -> jnp.ndarray:
     """IoU of the convex hulls of two 8-point sets (one cell of the kernel).
 
@@ -184,26 +213,9 @@ def convex_polygon_iou(pts_a: jnp.ndarray, pts_b: jnp.ndarray) -> jnp.ndarray:
     # center both point sets jointly: areas/IoU are translation-invariant and
     # small coordinates keep every float32 cross product well-conditioned.
     center = 0.5 * (jnp.mean(pts_a, axis=0) + jnp.mean(pts_b, axis=0))
-    pts_a = pts_a - center
-    pts_b = pts_b - center
-
-    hull_a = _ordered_hull(pts_a)  # (8, 2) CCW (ascending angle), repeats ok
-    hull_b = _ordered_hull(pts_b)
-    area_a = jnp.abs(_signed_area_ccw(hull_a))
-    area_b = jnp.abs(_signed_area_ccw(hull_b))
-
-    planes_a = _hull_halfplanes(pts_a)
-    planes_b = _hull_halfplanes(pts_b)
-
-    inter2 = _clipped_boundary_integral(hull_a, planes_b, +1.0) + _clipped_boundary_integral(
-        hull_b, planes_a, -1.0
+    return prepared_polygon_iou(
+        prepare_polygon(pts_a - center), prepare_polygon(pts_b - center)
     )
-    inter = jnp.maximum(inter2 / 2.0, 0.0)
-    # convex intersection can never exceed either hull; clamp float noise.
-    inter = jnp.minimum(inter, jnp.minimum(area_a, area_b))
-
-    union = area_a + area_b - inter
-    return jnp.where(union > 0, inter / (union + 1e-5), 0.0)
 
 
 def perturb_candidates(xyzlhw: jnp.ndarray, pst: jnp.ndarray, search_size: jnp.ndarray):
@@ -279,9 +291,16 @@ def multiview_fitness(
     uv = jnp.stack([u, v], axis=-1)  # (V, P, 8, 2)
 
     Vn, P = uv.shape[0], uv.shape[1]
-    flat_a = uv.reshape(Vn * P, 8, 2)
-    flat_b = jnp.broadcast_to(obs_corners[:, None], (Vn, P, 8, 2)).reshape(Vn * P, 8, 2)
-    iou = jax.vmap(convex_polygon_iou)(flat_a, flat_b).reshape(Vn, P)
+    # the observed polygon is shared by all particles of a view: prepare its
+    # hull/half-planes once per view, not per (particle, view) cell.
+    center_v = jnp.mean(obs_corners, axis=1)  # (V, 2)
+    prep_b = jax.vmap(prepare_polygon)(obs_corners - center_v[:, None])
+
+    uv_c = uv - center_v[:, None, None]
+    prep_a = jax.vmap(jax.vmap(prepare_polygon))(uv_c)  # over (V, P)
+    iou = jax.vmap(
+        lambda pa, pb: jax.vmap(lambda pa_one: prepared_polygon_iou(pa_one, pb))(pa)
+    )(prep_a, prep_b)  # (V, P)
 
     # where-mask (not multiply) so NaNs from padded view slots cannot leak.
     err = jnp.where(view_mask[:, None] > 0, jnp.abs(1.0 - iou), 0.0)

@@ -89,6 +89,7 @@ class CuTRConfig:
     level_strides: Tuple[int, ...] = (16, 32, 64)
     min_proposal_size: float = 50.0
     max_query_embeds: int = 1200
+    use_pallas_attention: bool = False
 
     @property
     def vit_heads(self) -> int:
@@ -179,6 +180,7 @@ class CubifyTransformer(nn.Module):
             layer_scale=not cfg.depth_model,
             encoder_norm=not cfg.depth_model,
             pretrain_img_size=512 if not cfg.depth_model else 224,
+            use_pallas=cfg.use_pallas_attention,
             name="vit",
         )
         self.pos_embedding = CameraRayEmbedding(cfg.decoder_dim, name="camera_ray")

@@ -80,9 +80,14 @@ class JointAttention(nn.Module):
     the concatenated key sequence; the softmax is applied separately to the
     RGB-query block and the depth-query block (matching the reference's
     split-after-matmul).
+
+    Global (non-window, RGB-only) blocks route through the Pallas
+    tiled-attention kernel (boxfusion_tpu/ops/attention.py) when enabled --
+    the score matrix never leaves VMEM.
     """
 
     num_heads: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, depth=None):
@@ -99,6 +104,17 @@ class JointAttention(nn.Module):
             return r[:, :, 0], r[:, :, 1], r[:, :, 2]  # each (B, N, heads, hd)
 
         q, k, v = split_qkv(x.reshape(B, H * W, C), H * W)
+
+        if depth is None and self.use_pallas and H * W >= 256:
+            from boxfusion_tpu.ops.attention import tiled_attention
+
+            def fold(t):  # (B, N, heads, hd) -> (B*heads, N, hd)
+                return t.transpose(0, 2, 1, 3).reshape(B * self.num_heads, H * W, hd)
+
+            o = tiled_attention(fold(q), fold(k), fold(v))
+            o = o.reshape(B, self.num_heads, H * W, hd).transpose(0, 2, 1, 3)
+            out = proj(o.reshape(B, H, W, C))
+            return out, None
 
         if depth is not None:
             _, Hd, Wd, _ = depth.shape
@@ -142,6 +158,7 @@ class Block(nn.Module):
     window_size: int = 0
     depth_modality: bool = False
     layer_scale: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, depth=None):
@@ -149,7 +166,7 @@ class Block(nn.Module):
         norm1 = nn.LayerNorm(epsilon=1e-6, name="norm1")
         norm2 = nn.LayerNorm(epsilon=1e-6, name="norm2")
         mlp = Mlp(int(dim * self.mlp_ratio), name="mlp")
-        attn = JointAttention(self.num_heads, name="attn")
+        attn = JointAttention(self.num_heads, use_pallas=self.use_pallas, name="attn")
         if self.layer_scale:
             ls1 = self.param("ls1_gamma", nn.initializers.ones, (dim,))
             ls2 = self.param("ls2_gamma", nn.initializers.ones, (dim,))
@@ -220,6 +237,7 @@ class ViT(nn.Module):
     pretrain_img_size: int = 224
     pretrain_use_cls_token: bool = True
     patch: int = 16
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, depth: Optional[jnp.ndarray] = None):
@@ -254,6 +272,7 @@ class ViT(nn.Module):
                 # (vit.py:466, cubify_transformer.py:1254-1264).
                 depth_modality=self.depth_modality and is_window,
                 layer_scale=self.layer_scale,
+                use_pallas=self.use_pallas and not is_window,
                 name=f"blocks_{i}",
             )
             if blk.depth_modality and d is not None:

@@ -35,10 +35,9 @@ from boxfusion_tpu.fusion import (
     load_pst,
     nms_3d,
     optimize_boxes,
-    project_global_boxes_2d,
-    project_observation_corners,
     PSTOptConfig,
 )
+from boxfusion_tpu.fusion.association import keyframe_geometry
 from boxfusion_tpu.geometry.boxes import CORNER_SIGNS
 
 _ARRAY_FIELDS = (
@@ -225,9 +224,21 @@ class OnlinePipeline:
         R_w = np.einsum("ij,njk->nik", Rp, det["R"]).astype(np.float32)
         cam_pose = np.tile(pose[None], (n_new, 1, 1))
 
-        corners2d = project_observation_corners(
-            xyzlhw_w, R_w, cam_pose, frame.K_depth, float(h), float(w)
+        # one fused device call for all the keyframe's association geometry
+        # (observation corner projections, new-vs-all IoU rows, global 2D
+        # projections for the correspondence pass).
+        t0 = time.time()
+        n_old = len(self.world)
+        if n_old:
+            all_t = np.concatenate([self.world.arrays["xyzlhw"], xyzlhw_w], 0)
+            all_R = np.concatenate([self.world.arrays["R"], R_w], 0)
+        else:
+            all_t, all_R = xyzlhw_w, R_w
+        corners2d, iou_rows, proj2d_all = keyframe_geometry(
+            xyzlhw_w, R_w, cam_pose, all_t, all_R,
+            frame.K_depth, pose, float(h), float(w),
         )
+        self.timings["geometry"] = self.timings.get("geometry", 0.0) + time.time() - t0
 
         init_id = self.box_count + np.arange(n_new)
         new_rows = dict(
@@ -253,7 +264,7 @@ class OnlinePipeline:
         if len(self.world) == 0:
             self.manager.init_new_predictions(n_new, 0)
             self.world.concat(new_rows, categories)
-            self.world.iou = iou_block(self.world.corners(), self.world.corners())
+            self.world.iou = iou_rows
             np.fill_diagonal(self.world.iou, 0.0)
             return
 
@@ -261,13 +272,9 @@ class OnlinePipeline:
         n_before = self.world.concat(new_rows, categories)
 
         # refresh IoU cache rows for the new boxes
-        t0 = time.time()
-        all_corners = self.world.corners()
-        new_block = iou_block(all_corners[n_before:], all_corners)
-        self.world.iou[n_before:, :] = new_block
-        self.world.iou[:, n_before:] = new_block.T
+        self.world.iou[n_before:, :] = iou_rows
+        self.world.iou[:, n_before:] = iou_rows.T
         self.world.iou[np.arange(len(self.world)), np.arange(len(self.world))] = 0.0
-        self.timings["iou"] = self.timings.get("iou", 0.0) + time.time() - t0
 
         # STEP 1: spatial association (demo.py:262)
         arr = self.world.arrays
@@ -288,16 +295,11 @@ class OnlinePipeline:
         keep_idx = np.asarray(keep)
 
         if len(cur_keep_idx) > 0:
-            # STEP 2: small-object correspondence (demo.py:273-289)
+            # STEP 2: small-object correspondence (demo.py:273-289); the
+            # projections were computed in the fused geometry call (box
+            # values don't change between there and here).
             global_keep_idx = keep_idx[keep_idx < n_before]
-            proj2d = project_global_boxes_2d(
-                arr["xyzlhw"][global_keep_idx],
-                arr["R"][global_keep_idx],
-                frame.K_depth,
-                pose,
-                float(h),
-                float(w),
-            )
+            proj2d = proj2d_all[global_keep_idx]
             keep_idx = correspondence_association(
                 cfg,
                 self.manager,
