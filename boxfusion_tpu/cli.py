@@ -36,6 +36,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--every-nth-frame", default=None, type=int)
     p.add_argument("--device", default=None)
     p.add_argument("--dimension", default=768, type=int, help="ViT width if random init")
+    p.add_argument(
+        "--engine",
+        default="host",
+        choices=["host", "device"],
+        help="'device' keeps all association/fusion state on the TPU "
+        "(fast path, no open-vocab labeling yet); 'host' mirrors the "
+        "reference's host-side bookkeeping",
+    )
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -100,6 +108,14 @@ def main(argv=None) -> int:
 
     from boxfusion_tpu.runtime import OnlinePipeline
     from boxfusion_tpu.utils import viz
+
+    if args.engine == "device":
+        from boxfusion_tpu.runtime.device_pipeline import DevicePipeline
+
+        pipe = DevicePipeline(cfg, detector)
+        out = pipe.run(dataset)
+        print(f"[cli] device engine: {len(out['scores'])} world boxes")
+        return 0
 
     pipe = OnlinePipeline(cfg, detector, labeler=labeler)
     if cfg["vis"]["rerun"]:

@@ -155,7 +155,14 @@ class OracleDetector:
         cv = np.clip(cv, 0, h)
         boxes2d = np.stack([cu.min(1), cv.min(1), cu.max(1), cv.max(1)], axis=1)
 
-        scores = np.full(n, self.score, np.float32) - 0.001 * np.arange(n)
+        # tie-free scores (the reference's NMS order uses an unstable sort,
+        # so equal scores would make greedy decisions ill-defined); the
+        # deterministic pseudo-random tie-break lets new detections sometimes
+        # out-score old ones, exercising the keep-swap and fusion paths.
+        jitter = ((frame.timestamp * 31 + np.arange(n) * 17) % 97) / 97.0
+        scores = (
+            np.full(n, self.score, np.float32) - 0.001 * np.arange(n) - 1e-3 * jitter
+        )
         return dict(
             scores=scores.astype(np.float32),
             pred_classes=np.zeros(n, np.int64),

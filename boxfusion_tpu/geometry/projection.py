@@ -65,8 +65,8 @@ def project_corners_to_image(
     """
     cam = world_to_camera(corners, cam_pose)
     uv = project_points(cam, K)
-    u = jnp.clip(uv[..., 0], 0.0, float(W))
-    v = jnp.clip(uv[..., 1], 0.0, float(H))
+    u = jnp.clip(uv[..., 0], 0.0, W)
+    v = jnp.clip(uv[..., 1], 0.0, H)
     return jnp.stack([u, v], axis=-1)
 
 
@@ -102,8 +102,8 @@ def project_boxes_to_2d(
     strict_valid = (z > 0) & (u > 0) & (u < W) & (v > 0) & (v < H)
     z_valid = (z > 0) & (z < z_max)
 
-    u_c = jnp.clip(u, 0.0, float(W))
-    v_c = jnp.clip(v, 0.0, float(H))
+    u_c = jnp.clip(u, 0.0, W)
+    v_c = jnp.clip(v, 0.0, H)
 
     big = jnp.float32(1e30)
     x1 = jnp.min(jnp.where(z_valid, u_c, big), axis=-1)

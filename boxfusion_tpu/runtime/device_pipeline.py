@@ -1,0 +1,127 @@
+"""Host shell for the device-resident online pipeline.
+
+The host only decodes frames, runs the (jitted) detector, and enqueues
+``keyframe_step`` -- all state stays on device and nothing synchronizes
+until the end of the sequence.  This is the production engine; the numpy
+``OnlinePipeline`` (pipeline.py) keeps the reference-shaped host logic for
+debugging and parity tests.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from boxfusion_tpu.fusion import load_pst
+from boxfusion_tpu.fusion.optimizer import PSTOptConfig
+from boxfusion_tpu.runtime.device_state import DeviceState, export_world, init_state
+from boxfusion_tpu.runtime.device_step import StepConfig, keyframe_step
+
+
+def step_config_from(cfg) -> StepConfig:
+    bf = cfg["box_fusion"]
+    ro = bf["random_opt"]
+    det = cfg["detection"]
+    return StepConfig(
+        score_thresh=float(det["score_thresh"]),
+        uv_bound=bool(det["uv_bound"]),
+        uv_bound_value=float(det["uv_bound_value"]),
+        floor_mask=bool(det["floor_mask"]),
+        floor_ratio=float(det["floor_ratio"]),
+        size_max_thres=float(det["size_max_thres"] or 0.0),
+        nms_threshold=float(bf["nms_threshold"]),
+        small_threshold=float(cfg["association"]["small_threshold"]),
+        small_size=float(bf["small_size"]),
+        rotation_gap=float(cfg["association"]["rotation_gap"]),
+        translation_gap=float(cfg["association"]["translation_gap"]),
+        fusion_use=bool(bf["use"]),
+        max_fusions=int(bf["max_fusions_per_frame"]),
+        opt=PSTOptConfig(
+            iters=int(bf["iters"]),
+            center_init_size=float(ro["center_init_size"]),
+            center_scaling_coefficient=float(ro["center_scaling_coefficient"]),
+            shape_init_size=float(ro["shape_init_size"]),
+            shape_scaling_coefficient=float(ro["shape_scaling_coefficient"]),
+        ),
+    )
+
+
+class DevicePipeline:
+    """Online detection + fusion with device-resident state.
+
+    Args:
+      cfg: a Config (utils/config.py).
+      detector: Frame -> dict of detections.  May return jax arrays (kept on
+        device) or numpy arrays (uploaded once).
+    """
+
+    def __init__(self, cfg, detector: Callable, capacity: int = 512):
+        from boxfusion_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        self.cfg = cfg
+        self.detector = detector
+        self.step_cfg = step_config_from(cfg)
+        self.state = init_state(
+            capacity=capacity,
+            max_views=int(cfg["association"]["max_views"]),
+            obs_capacity=int(cfg["association"]["max_observations"]),
+        )
+        bf = cfg["box_fusion"]
+        self.pst = jnp.asarray(
+            load_pst(bf["pst_path"] if "pst_path" in bf else None, int(bf["pst_size"]))
+        )
+        self.count = 0
+
+    def process_keyframe(self, frame) -> None:
+        det = self.detector(frame)
+        det = {
+            k: v
+            for k, v in det.items()
+            if k in ("scores", "pred_boxes", "boxes3d", "R", "proj_xy", "category")
+        }
+        # pad to the static detection capacity (padded rows score -1e9 and
+        # are dropped by the score filter on device)
+        kmax = int(self.cfg["detection"]["max_detections"])
+        n = det["scores"].shape[0]
+        if n != kmax:
+            pad = max(kmax - n, 0)
+
+            def padded(v):
+                v = np.asarray(v)[: kmax]
+                fill = np.zeros((pad,) + v.shape[1:], v.dtype)
+                return np.concatenate([v, fill], 0)
+
+            det = {k: padded(v) for k, v in det.items()}
+            det["scores"][n:] = -1e9
+            if "boxes3d" in det:
+                det["boxes3d"][n:, 3:] = 1.0  # benign dims for padded rows
+        det = {k: jnp.asarray(v) for k, v in det.items()}
+        h, w = frame.image.shape[:2]
+        self.state = keyframe_step(
+            self.state,
+            det,
+            self.pst,
+            jnp.asarray(frame.gt_pose, jnp.float32),
+            jnp.asarray(frame.K, jnp.float32),
+            jnp.asarray(frame.K_depth, jnp.float32),
+            jnp.asarray([float(h), float(w)], jnp.float32),
+            jnp.int32(self.count),
+            self.step_cfg,
+        )
+
+    def run(self, dataset, gap: Optional[int] = None, verbose: bool = False):
+        gap = int(self.cfg["data"]["gap"]) if gap is None else gap
+        start = time.time()
+        for frame in dataset:
+            if self.count % gap == 0:
+                self.process_keyframe(frame)
+            self.count += 1
+        jax.block_until_ready(self.state.n)
+        duration = time.time() - start
+        self.fps = self.count / max(duration, 1e-9)
+        print(f"Cost: {duration:.2f} s Average FPS: {self.fps:.2f}")
+        return export_world(self.state)

@@ -1,0 +1,647 @@
+"""The fully device-resident keyframe update.
+
+One jitted function per keyframe: ``keyframe_step(state, detections, ...)
+-> DeviceState``.  Implements, entirely on device with fixed shapes:
+
+  * detection filters (score / uv-bound / floor / max-size,
+    reference demo.py:138-148, box_manager.py:217-245);
+  * camera->world lift + observation corner projection (demo.py:216-221);
+  * the two-phase gated pairwise OBB IoU cache refresh;
+  * greedy score-ordered 3D NMS with the manager's fusion-list bookkeeping
+    (instances.py:22-101 + box_manager.py:40-88) as a ``lax.while_loop``
+    whose body mutates masks -- faithful to the sequential reference
+    semantics, including keep-swaps;
+  * the small-object 2D correspondence pass (instances.py:411-490 +
+    box_manager.py:90-129);
+  * world-set compaction (stable-order mask sort == the reference's sorted
+    keep lists);
+  * batched multi-view PST fusion (box_fusion.py:622-724) and the IoU cache
+    refresh for moved boxes.
+
+The host only enqueues: no values come back until the end of the sequence,
+so per-keyframe cost is dispatch latency + device compute even on
+remote-attached TPUs.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from boxfusion_tpu.fusion.optimizer import PSTOptConfig, init_opt_params, optimize_boxes
+from boxfusion_tpu.geometry.boxes import box_corners
+from boxfusion_tpu.geometry.iou import obb_grid_iou, obb_intersect_mask
+from boxfusion_tpu.geometry.projection import (
+    project_boxes_to_2d,
+    project_corners_to_image,
+)
+from boxfusion_tpu.runtime.device_state import PAD_ID, DeviceState
+
+_NEG = jnp.float32(-1e30)
+
+
+def _argmax_score_desc(scores, mask):
+    """Index of the max masked score, ties broken by LARGER index.
+
+    Matches the reference's ``scores.argsort()[::-1]`` ordering
+    (instances.py:52): a reversed stable ascending sort puts the later index
+    first among equal scores.
+    """
+    s = jnp.where(mask, scores, _NEG)
+    m = jnp.max(s)
+    slot = jnp.arange(s.shape[0])
+    return jnp.argmax(jnp.where(s == m, slot + 1, 0))
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    """Static per-run configuration (mirrors the YAML, utils/config.py)."""
+
+    score_thresh: float = 0.4
+    uv_bound: bool = True
+    uv_bound_value: float = 0.9
+    floor_mask: bool = True
+    floor_ratio: float = 15.0
+    size_max_thres: float = 0.0
+    nms_threshold: float = 0.1
+    small_threshold: float = 0.2
+    small_size: float = 0.5
+    rotation_gap: float = 30.0
+    translation_gap: float = 0.8
+    fusion_use: bool = True
+    max_fusions: int = 16
+    max_gated_pairs: int = 1024
+    grid_samples: int = 25
+    opt: PSTOptConfig = PSTOptConfig()
+
+
+# ---------------------------------------------------------------------------
+# small helpers
+# ---------------------------------------------------------------------------
+
+def _pose_differs(poses_m, pose_ref, cfg: StepConfig):
+    """(V, 4, 4) vs (4, 4) -> (V,) bool (box_manager.py:168-186)."""
+    baseline = jnp.linalg.norm(poses_m[:, :3, 3] - pose_ref[:3, 3], axis=-1)
+    r_rel = jnp.einsum("ij,vkj->vik", pose_ref[:3, :3], poses_m[:, :3, :3])
+    tr = jnp.clip((jnp.trace(r_rel, axis1=1, axis2=2) - 1) / 2, -1.0, 1.0)
+    ang = jnp.arccos(tr) * (180.0 / jnp.pi)
+    return (baseline > cfg.translation_gap) | (ang > cfg.rotation_gap)
+
+
+def _member_poses(state: DeviceState, row):
+    """Gather obs poses of one fusion-list row (V,) -> (V, 4, 4)."""
+    idx = jnp.clip(row, 0, state.obs_pose.shape[0] - 1)
+    return state.obs_pose[idx]
+
+
+def _row_member_mask(state: DeviceState, slot):
+    return jnp.arange(state.max_views) < state.fcount[slot]
+
+
+def _all_members_differ(state, list_slot, pose_ref, extra, cfg):
+    """The record() gate: every member pose differs enough (or `extra`)."""
+    row = state.flist[list_slot]
+    differs = _pose_differs(_member_poses(state, row), pose_ref, cfg) | extra
+    m = _row_member_mask(state, list_slot)
+    return jnp.all(jnp.where(m, differs, True))
+
+
+def _insert_sorted(row, count, value):
+    """Insert into a PAD_ID-padded ascending row."""
+    new = jax.lax.dynamic_update_slice(row, value[None].astype(row.dtype), (count,))
+    return jnp.sort(new)
+
+
+def _merge_sorted(row_a, count_a, row_b, count_b, max_views):
+    merged = jnp.sort(jnp.concatenate([row_a, row_b]))[:max_views]
+    return merged, jnp.minimum(count_a + count_b, max_views)
+
+
+# ---------------------------------------------------------------------------
+# greedy NMS + record (instances.py:22-101, box_manager.py:40-88)
+# ---------------------------------------------------------------------------
+
+def _record_one(state: DeviceState, keep, i, j, cfg: StepConfig):
+    """Process one suppressed box j against survivor i (box_manager.py:48-87)."""
+    V = state.max_views
+    center_i = state.xyzlhw[i, :3]
+    center_j = state.xyzlhw[j, :3]
+    center_far = jnp.linalg.norm(center_i - center_j) > 0.5
+
+    is_single = state.fcount[j] == 1
+
+    # case A: j is a fresh observation -> maybe append its init_id to i's list
+    pose_j = state.obs_pose[jnp.clip(state.init_id[j], 0, state.obs_pose.shape[0] - 1)]
+    differ_a = _all_members_differ(state, i, pose_j, center_far, cfg)
+    apply_a = is_single & differ_a & (state.fcount[i] < 5)
+
+    row_a = _insert_sorted(state.flist[i], state.fcount[i], state.init_id[j])
+
+    # case B: j is a multi-view box -> maybe merge its list into i's
+    pose_i = state.obs_pose[jnp.clip(state.init_id[i], 0, state.obs_pose.shape[0] - 1)]
+    differ_b = _all_members_differ(state, j, pose_i, center_far, cfg)
+    mergeable = differ_b & (state.fcount[j] < 5)
+    apply_b = (~is_single) & mergeable
+    swap_b = (~is_single) & (~mergeable)
+
+    row_b, count_b = _merge_sorted(
+        state.flist[i], state.fcount[i], state.flist[j], state.fcount[j], V
+    )
+
+    new_row = jnp.where(apply_a, row_a, jnp.where(apply_b, row_b, state.flist[i]))
+    new_count = jnp.where(
+        apply_a, state.fcount[i] + 1, jnp.where(apply_b, count_b, state.fcount[i])
+    )
+    flist = jax.lax.dynamic_update_slice(state.flist, new_row[None], (i, 0))
+    fcount = state.fcount.at[i].set(new_count)
+
+    # keep-swap (box_manager.py:79-83): old multi-view box wins over cur.
+    do_swap = swap_b & keep[i]
+    keep = keep.at[i].set(jnp.where(do_swap, False, keep[i]))
+    keep = keep.at[j].set(jnp.where(do_swap, True, keep[j]))
+
+    fflag = state.fflag.at[i].set(
+        state.fflag[i] | ((~is_single) & state.fflag[j])
+    )
+    return dataclasses.replace(state, flist=flist, fcount=fcount, fflag=fflag), keep
+
+
+def _nms_greedy(state: DeviceState, cfg: StepConfig):
+    """Greedy score-ordered NMS over the packed world set.
+
+    Returns (state, keep (G,), success (G,))."""
+    G = state.capacity
+    slot_valid = jnp.arange(G) < state.n
+
+    def outer_cond(c):
+        _, remaining, *_ = c
+        return jnp.any(remaining)
+
+    def outer_body(c):
+        state, remaining, keep, success = c
+        i = _argmax_score_desc(state.scores, remaining)
+        keep = keep.at[i].set(True)
+        remaining = remaining.at[i].set(False)
+
+        ious = state.iou[i] * remaining
+        supp = remaining & (ious > cfg.nms_threshold)
+        remaining = remaining & ~supp
+
+        any_supp = jnp.any(supp)
+        valid_num = state.valid_num.at[i].add(jnp.where(any_supp, 1.0, 0.0))
+        success = success.at[i].set(success[i] | any_supp)
+        state = dataclasses.replace(state, valid_num=valid_num)
+
+        # inner: process suppressed in score-descending order
+        def inner_cond(ic):
+            supp_mask, *_ = ic
+            return jnp.any(supp_mask)
+
+        def inner_body(ic):
+            supp_mask, state, keep = ic
+            j = _argmax_score_desc(state.scores, supp_mask)
+            supp_mask = supp_mask.at[j].set(False)
+            state, keep = _record_one(state, keep, i, j, cfg)
+            return supp_mask, state, keep
+
+        _, state, keep = jax.lax.while_loop(
+            inner_cond, inner_body, (supp, state, keep)
+        )
+        return state, remaining, keep, success
+
+    state, _, keep, success = jax.lax.while_loop(
+        outer_cond,
+        outer_body,
+        (state, slot_valid, jnp.zeros(G, bool), jnp.zeros(G, bool)),
+    )
+    return state, keep, success
+
+
+# ---------------------------------------------------------------------------
+# correspondence pass (instances.py:411-490, box_manager.py:90-129)
+# ---------------------------------------------------------------------------
+
+def _iou2d_one_vs_rows(box, rows):
+    area_a = (box[2] - box[0]) * (box[3] - box[1])
+    area_b = (rows[:, 2] - rows[:, 0]) * (rows[:, 3] - rows[:, 1])
+    x1 = jnp.maximum(box[0], rows[:, 0])
+    y1 = jnp.maximum(box[1], rows[:, 1])
+    x2 = jnp.minimum(box[2], rows[:, 2])
+    y2 = jnp.minimum(box[3], rows[:, 3])
+    inter = jnp.maximum(0.0, x2 - x1) * jnp.maximum(0.0, y2 - y1)
+    return inter / (area_a + area_b - inter + 1e-6)
+
+
+def _record_corr_one(state: DeviceState, keep, cur, other, cfg: StepConfig):
+    """record_corr (box_manager.py:90-129): pose-only gate, keep-substitute."""
+    V = state.max_views
+    is_single = state.fcount[other] == 1
+
+    pose_other = state.obs_pose[jnp.clip(state.init_id[other], 0, state.obs_pose.shape[0] - 1)]
+    differ_a = _all_members_differ(state, cur, pose_other, jnp.bool_(False), cfg)
+    apply_a = is_single & differ_a & (state.fcount[cur] < 5)
+    row_a = _insert_sorted(state.flist[cur], state.fcount[cur], state.init_id[other])
+
+    pose_cur = state.obs_pose[jnp.clip(state.init_id[cur], 0, state.obs_pose.shape[0] - 1)]
+    differ_b = _all_members_differ(state, other, pose_cur, jnp.bool_(False), cfg)
+    mergeable = differ_b & (state.fcount[other] < 5)
+    apply_b = (~is_single) & mergeable
+    swap_b = (~is_single) & (~mergeable)
+
+    row_b, count_b = _merge_sorted(
+        state.flist[cur], state.fcount[cur], state.flist[other], state.fcount[other], V
+    )
+
+    new_row = jnp.where(apply_a, row_a, jnp.where(apply_b, row_b, state.flist[cur]))
+    new_count = jnp.where(
+        apply_a, state.fcount[cur] + 1, jnp.where(apply_b, count_b, state.fcount[cur])
+    )
+    flist = jax.lax.dynamic_update_slice(state.flist, new_row[None], (cur, 0))
+    fcount = state.fcount.at[cur].set(new_count)
+
+    # keep[keep == cur] = other (box_manager.py:122-123)
+    do_swap = swap_b & keep[cur]
+    keep = keep.at[cur].set(jnp.where(do_swap, False, keep[cur]))
+    keep = keep.at[other].set(jnp.where(do_swap, True, keep[other]))
+
+    fflag = state.fflag.at[cur].set(state.fflag[cur] | ((~is_single) & state.fflag[other]))
+    return dataclasses.replace(state, flist=flist, fcount=fcount, fflag=fflag), keep
+
+
+def _correspondence(state, keep, success, n_before, proj2d, cfg: StepConfig):
+    G = state.capacity
+    slot = jnp.arange(G)
+
+    # fixed at entry, like the reference (instances.py:424)
+    global_keep = keep & (slot < n_before)
+    small_dims_g = jnp.max(state.xyzlhw[:, 3:], axis=-1) < (cfg.small_size + 0.1)
+
+    is_new = slot >= n_before
+    small_new = (
+        keep
+        & is_new
+        & (jnp.max(state.xyzlhw[:, 3:], axis=-1) <= cfg.small_size)
+        & ~success
+        & (slot < state.n)
+    )
+    have_globals = jnp.any(global_keep)
+
+    def cond(c):
+        pending, *_ = c
+        return jnp.any(pending) & have_globals
+
+    def body(c):
+        pending, state, keep = c
+        s = jnp.argmin(jnp.where(pending, slot, G + 1))  # ascending slot order
+        pending = pending.at[s].set(False)
+
+        iou = _iou2d_one_vs_rows(state.pred_boxes[s], proj2d)
+        # where (not multiply) so NaNs from degenerate projections of masked
+        # slots cannot leak into the argmax
+        iou = jnp.where(global_keep & small_dims_g, iou, 0.0)
+        best = jnp.argmax(iou)
+        hit = iou[best] > cfg.small_threshold
+
+        new_wins = state.scores[best] < state.scores[s]
+
+        def do_new_wins(args):
+            state, keep = args
+            keep = keep.at[best].set(False)
+            vn = state.valid_num.at[s].add(1.0)
+            state = dataclasses.replace(state, valid_num=vn)
+            return _record_corr_one(state, keep, s, best, cfg)
+
+        def do_old_wins(args):
+            state, keep = args
+            keep = keep.at[s].set(False)
+            vn = state.valid_num.at[best].add(1.0)
+            state = dataclasses.replace(state, valid_num=vn)
+            return _record_corr_one(state, keep, best, s, cfg)
+
+        def do_hit(args):
+            return jax.lax.cond(new_wins, do_new_wins, do_old_wins, args)
+
+        state, keep = jax.lax.cond(hit, do_hit, lambda a: a, (state, keep))
+        return pending, state, keep
+
+    _, state, keep = jax.lax.while_loop(cond, body, (small_new, state, keep))
+    return state, keep
+
+
+# ---------------------------------------------------------------------------
+# compaction
+# ---------------------------------------------------------------------------
+
+def _compact(state: DeviceState, keep) -> DeviceState:
+    G = state.capacity
+    keep = keep & (jnp.arange(G) < state.n)
+    order = jnp.argsort(~keep, stable=True)  # kept slots first, order stable
+    new_n = jnp.sum(keep).astype(jnp.int32)
+
+    def g(x):
+        return x[order]
+
+    return dataclasses.replace(
+        state,
+        xyzlhw=g(state.xyzlhw),
+        R=g(state.R),
+        scores=g(state.scores),
+        category=g(state.category),
+        pred_boxes=g(state.pred_boxes),
+        init_id=g(state.init_id),
+        frame_id=g(state.frame_id),
+        valid_num=g(state.valid_num),
+        n=new_n,
+        iou=state.iou[order][:, order],
+        flist=g(state.flist),
+        fcount=g(state.fcount),
+        fflag=g(state.fflag),
+        already=g(state.already),
+        already_valid=g(state.already_valid),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gated pairwise IoU rows
+# ---------------------------------------------------------------------------
+
+def _gated_iou_rows(corners_q, mask_q, corners_all, mask_all, cfg: StepConfig):
+    """(Q, A) IoU rows: dense containment gate, grid IoU on gated pairs only."""
+    Q = corners_q.shape[0]
+    A = corners_all.shape[0]
+    gate = jax.vmap(
+        lambda ca, ma: jax.vmap(lambda cb, mb: ma & mb & obb_intersect_mask(ca, cb))(
+            corners_all, mask_all
+        )
+    )(corners_q, mask_q)
+
+    flat = gate.reshape(-1)
+    k = min(cfg.max_gated_pairs, flat.shape[0])
+    _, pair_idx = jax.lax.top_k(flat.astype(jnp.int32), k)
+    ia = pair_idx // A
+    ib = pair_idx % A
+
+    vals = jax.vmap(
+        lambda i, j, on: jnp.where(
+            on, obb_grid_iou(corners_q[i], corners_all[j], cfg.grid_samples), 0.0
+        )
+    )(ia, ib, flat[pair_idx])
+
+    rows = jnp.zeros(Q * A, jnp.float32).at[pair_idx].set(vals).reshape(Q, A)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# fusion (box_fusion.py:622-724)
+# ---------------------------------------------------------------------------
+
+def _fuse_device(state: DeviceState, pst, K_img, H, W, cfg: StepConfig):
+    G = state.capacity
+    V = state.max_views
+    F = cfg.max_fusions
+    slot = jnp.arange(G)
+
+    same_as_already = state.already_valid & jnp.all(state.flist == state.already, axis=-1)
+    eligible = (state.fcount >= 3) & (slot < state.n) & ~same_as_already
+
+    _, cand = jax.lax.top_k(eligible.astype(jnp.int32), F)  # ascending-index ties
+    active = eligible[cand]
+
+    rows = state.flist[cand]  # (F, V)
+    vmask = (jnp.arange(V)[None] < state.fcount[cand][:, None]) & active[:, None]
+    obs_idx = jnp.clip(rows, 0, state.obs_pose.shape[0] - 1)
+
+    mem_box = state.obs_xyzlhw[obs_idx]  # (F, V, 6)
+    mem_R = state.obs_R[obs_idx]
+    mem_score = state.obs_score[obs_idx]
+    mem_pose = state.obs_pose[obs_idx]
+    mem_corners = state.obs_corners2d[obs_idx]
+
+    init_x, init_R = jax.vmap(init_opt_params)(
+        mem_box, mem_R, mem_score, vmask.astype(jnp.float32)
+    )
+
+    fused, updated = optimize_boxes.__wrapped__(
+        init_x,
+        init_R,
+        pst,
+        mem_pose,
+        mem_corners,
+        vmask.astype(jnp.float32),
+        active,
+        K_img,
+        H,
+        W,
+        cfg.opt,
+    )
+
+    # write back via one-hot masks (box_fusion.py:716-724: only the tensor
+    # moves; the rotation stays the global box's own R)
+    upd_onehot = jnp.zeros(G, bool).at[cand].set(updated)  # cand unique
+    sel = jax.nn.one_hot(cand, G, dtype=jnp.float32) * updated[:, None]  # (F, G)
+    fused_rows = sel.T @ fused  # (G, 6)
+    xyzlhw = jnp.where(upd_onehot[:, None], fused_rows, state.xyzlhw)
+
+    fflag = state.fflag | upd_onehot
+    already = jnp.where(upd_onehot[:, None], state.flist, state.already)
+    already_valid = state.already_valid | upd_onehot
+
+    state = dataclasses.replace(
+        state, xyzlhw=xyzlhw, fflag=fflag, already=already, already_valid=already_valid
+    )
+
+    # refresh IoU cache rows for moved boxes
+    corners_all = box_corners(state.xyzlhw, state.R)
+    mask_all = slot < state.n
+    corners_q = corners_all[cand]
+    rows_iou = _gated_iou_rows(corners_q, updated, corners_all, mask_all, cfg)
+    rows_full = (jax.nn.one_hot(cand, G, dtype=jnp.float32) * updated[:, None]).T @ rows_iou
+    iou = jnp.where(upd_onehot[:, None], rows_full, state.iou)
+    iou = jnp.where(upd_onehot[None, :], rows_full.T, iou)
+    iou = iou * (1.0 - jnp.eye(G))
+    return dataclasses.replace(state, iou=iou)
+
+
+# ---------------------------------------------------------------------------
+# detection filters + append
+# ---------------------------------------------------------------------------
+
+def _filter_mask(det, image_hw, cfg: StepConfig):
+    """demo.py:138-148 + box_manager.py:217-245, vectorized."""
+    h, w = image_hw[0], image_hw[1]
+    m = det["scores"] >= cfg.score_thresh
+    if cfg.uv_bound:
+        gap_w = jnp.floor((1.0 - cfg.uv_bound_value) * w)
+        gap_h = jnp.floor((1.0 - cfg.uv_bound_value) * h)
+        u, v = det["proj_xy"][:, 0], det["proj_xy"][:, 1]
+        m &= (u > gap_w) & (u < (w - gap_w)) & (v > gap_h) & (v < (h - gap_h))
+    dims = det["boxes3d"][:, 3:]
+    if cfg.floor_mask:
+        mx = jnp.max(dims, axis=1)
+        mn = jnp.min(dims, axis=1)
+        second = jnp.sort(dims, axis=1)[:, 1]
+        floor = (mx / mn > cfg.floor_ratio) | (
+            (mx / mn > cfg.floor_ratio / 2)
+            & (mx / second > cfg.floor_ratio / 2)
+            & (second / mn < 2.0)
+            & (second < 0.15)
+            & (mn < 0.15)
+        )
+        m &= ~floor
+    if cfg.size_max_thres > 0:
+        m &= ~(jnp.max(dims, axis=1) > cfg.size_max_thres)
+    return m
+
+
+def _append_detections(state: DeviceState, det, mask, pose, K_depth, image_hw, frame_idx):
+    """Pack the surviving detections, lift to world, append to the
+    observation store + world set (demo.py:216-254)."""
+    K = mask.shape[0]
+    order = jnp.argsort(~mask, stable=True)
+    k = jnp.sum(mask).astype(jnp.int32)
+
+    def pick(x):
+        return x[order]
+
+    boxes3d = pick(det["boxes3d"])
+    R_cam = pick(det["R"])
+    scores = pick(det["scores"])
+    boxes2d = pick(det["pred_boxes"])
+    category = pick(det["category"]) if "category" in det else jnp.zeros(K, jnp.int32)
+
+    rp = pose[:3, :3]
+    t = pose[:3, 3]
+    centers_w = boxes3d[:, :3] @ rp.T + t
+    xyzlhw_w = jnp.concatenate([centers_w, boxes3d[:, 3:]], axis=1)
+    R_w = jnp.einsum("ij,njk->nik", rp, R_cam)
+
+    corners3d = box_corners(xyzlhw_w, R_w)
+    poses_rep = jnp.broadcast_to(pose[None], (K, 4, 4))
+    corners2d = project_corners_to_image(
+        corners3d, poses_rep, K_depth, image_hw[0], image_hw[1]
+    )
+
+    obs_ids = state.obs_n + jnp.arange(K, dtype=jnp.int32)
+
+    def dus(buf, block):
+        return jax.lax.dynamic_update_slice(
+            buf, block.astype(buf.dtype), (state.obs_n,) + (0,) * (buf.ndim - 1)
+        )
+
+    state = dataclasses.replace(
+        state,
+        obs_pose=dus(state.obs_pose, poses_rep),
+        obs_xyzlhw=dus(state.obs_xyzlhw, xyzlhw_w),
+        obs_R=dus(state.obs_R, R_w),
+        obs_score=dus(state.obs_score, scores),
+        obs_corners2d=dus(state.obs_corners2d, corners2d),
+        obs_n=state.obs_n + k,
+    )
+
+    def wus(buf, block):
+        return jax.lax.dynamic_update_slice(
+            buf, block.astype(buf.dtype), (state.n,) + (0,) * (buf.ndim - 1)
+        )
+
+    V = state.max_views
+    new_flist = jnp.full((K, V), PAD_ID, jnp.int32).at[:, 0].set(obs_ids)
+    state = dataclasses.replace(
+        state,
+        xyzlhw=wus(state.xyzlhw, xyzlhw_w),
+        R=wus(state.R, R_w),
+        scores=wus(state.scores, scores),
+        category=wus(state.category, category),
+        pred_boxes=wus(state.pred_boxes, boxes2d),
+        init_id=wus(state.init_id, obs_ids),
+        frame_id=wus(state.frame_id, jnp.full(K, frame_idx, jnp.int32)),
+        valid_num=wus(state.valid_num, jnp.zeros(K)),
+        flist=wus(state.flist, new_flist),
+        fcount=wus(state.fcount, jnp.ones(K, jnp.int32)),
+        fflag=wus(state.fflag, jnp.zeros(K, bool)),
+        already=wus(state.already, jnp.full((K, V), PAD_ID, jnp.int32)),
+        already_valid=wus(state.already_valid, jnp.zeros(K, bool)),
+        n=state.n + k,
+    )
+    return state, k
+
+
+# ---------------------------------------------------------------------------
+# the keyframe step
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def keyframe_step(
+    state: DeviceState,
+    det: dict,
+    pst: jnp.ndarray,
+    pose: jnp.ndarray,
+    K_img: jnp.ndarray,
+    K_depth: jnp.ndarray,
+    image_hw: jnp.ndarray,
+    frame_idx: jnp.ndarray,
+    cfg: StepConfig = StepConfig(),
+) -> DeviceState:
+    """One keyframe: filters -> append -> NMS -> correspondence -> fusion.
+
+    Args:
+      det: detector output dict (device arrays, fixed K rows): scores,
+        pred_boxes, boxes3d (camera frame), R, proj_xy [, category].
+      pose: (4, 4) camera-to-world of this keyframe.
+      K_img / K_depth: (3, 3) intrinsics.  image_hw: (2,) actual (H, W).
+    """
+    G = state.capacity
+    mask = _filter_mask(det, image_hw, cfg)
+    n_before = state.n
+    state, k_new = _append_detections(
+        state, det, mask, pose, K_depth, image_hw, frame_idx
+    )
+
+    def no_news(state):
+        return state
+
+    def with_news(state):
+        slot = jnp.arange(G)
+        mask_all = slot < state.n
+        is_new = (slot >= n_before) & mask_all
+
+        corners_all = box_corners(state.xyzlhw, state.R)
+
+        # IoU cache rows for the new slots (two-phase gated)
+        rows = _gated_iou_rows(corners_all, is_new, corners_all, mask_all, cfg)
+        iou = jnp.where(is_new[:, None], rows, state.iou)
+        iou = jnp.where(is_new[None, :] & ~is_new[:, None], rows.T, iou)
+        iou = iou * (1.0 - jnp.eye(G))
+        state = dataclasses.replace(state, iou=iou)
+
+        first_frame = n_before == 0
+
+        def assoc(state):
+            state, keep, success = _nms_greedy(state, cfg)
+
+            # 2D projections of the pre-NMS global set for correspondence
+            proj2d = project_boxes_to_2d(
+                corners_all, K_depth, pose, image_hw[0], image_hw[1]
+            )
+            any_new_kept = jnp.any(keep & is_new)
+
+            def corr(args):
+                state, keep = args
+                return _correspondence(state, keep, success, n_before, proj2d, cfg)
+
+            state, keep = jax.lax.cond(
+                any_new_kept, corr, lambda a: a, (state, keep)
+            )
+            state = _compact(state, keep)
+
+            if cfg.fusion_use:
+                def fuse(state):
+                    return _fuse_device(state, pst, K_img, image_hw[0], image_hw[1], cfg)
+
+                state = jax.lax.cond(any_new_kept, fuse, lambda s: s, state)
+            return state
+
+        return jax.lax.cond(first_frame, lambda s: s, assoc, state)
+
+    return jax.lax.cond(k_new > 0, with_news, no_news, state)

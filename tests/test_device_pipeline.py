@@ -1,0 +1,95 @@
+"""Device-resident pipeline: correctness + parity vs the host pipeline."""
+import numpy as np
+import pytest
+
+from boxfusion_tpu.data.synthetic import OracleDetector, SyntheticSequence
+from boxfusion_tpu.runtime import OnlinePipeline
+from boxfusion_tpu.runtime.device_pipeline import DevicePipeline
+from boxfusion_tpu.utils.config import load_config
+
+
+def _cfg():
+    c = load_config("config/ca1m.yaml")
+    c["data"]._data["gap"] = 5
+    c["detection"]._data["score_thresh"] = 0.3
+    c["detection"]._data["uv_bound"] = False
+    c["detection"]._data["floor_mask"] = False
+    c["detection"]._data["max_detections"] = 16
+    c["box_fusion"]._data["pst_path"] = None
+    c["box_fusion"]._data["pst_size"] = 128
+    c["box_fusion"]._data["iters"] = 8
+    c["box_fusion"]._data["max_fusions_per_frame"] = 4
+    c["association"]._data["max_views"] = 5
+    return c
+
+
+@pytest.fixture(scope="module")
+def noiseless_worlds():
+    cfg = _cfg()
+    seq = SyntheticSequence(n_frames=30, n_boxes=5, seed=0)
+    host = OnlinePipeline(cfg, OracleDetector(seq, noise=0.0))
+    host_world = host.run(seq, gap=5)
+    dev = DevicePipeline(cfg, OracleDetector(seq, noise=0.0), capacity=64)
+    dev_world = dev.run(seq, gap=5)
+    return seq, host, host_world, dev, dev_world
+
+
+def test_device_matches_gt(noiseless_worlds):
+    seq, _, _, _, dev_world = noiseless_worlds
+    assert len(dev_world["scores"]) == seq.n_boxes
+    d = np.linalg.norm(
+        dev_world["xyzlhw"][:, None, :3] - seq.gt_xyzlhw[None, :, :3], axis=-1
+    ).min(axis=0)
+    assert np.all(d < 0.05), d
+
+
+def test_device_matches_host_pipeline(noiseless_worlds):
+    seq, host, host_world, dev, dev_world = noiseless_worlds
+    assert len(dev_world["scores"]) == len(host_world)
+    # same objects (match by init_id -- the greedy decisions must align)
+    np.testing.assert_array_equal(
+        np.sort(dev_world["init_id"]), np.sort(host_world.arrays["init_id"])
+    )
+    order_d = np.argsort(dev_world["init_id"])
+    order_h = np.argsort(host_world.arrays["init_id"])
+    np.testing.assert_allclose(
+        dev_world["xyzlhw"][order_d],
+        host_world.arrays["xyzlhw"][order_h],
+        atol=5e-3,
+    )
+    # fusion lists identical
+    fl_d = [dev_world["fusion_list"][i] for i in order_d]
+    fl_h = [host.manager.fusion_list[i] for i in order_h]
+    assert fl_d == fl_h
+
+
+def test_device_noisy_runs_and_fuses():
+    cfg = _cfg()
+    seq = SyntheticSequence(n_frames=40, n_boxes=4, seed=1)
+    dev = DevicePipeline(cfg, OracleDetector(seq, noise=0.04, seed=2), capacity=64)
+    world = dev.run(seq, gap=5)
+    assert len(world["scores"]) >= seq.n_boxes
+    assert world["fusion_flag"].any()
+    d = np.linalg.norm(
+        world["xyzlhw"][:, None, :3] - seq.gt_xyzlhw[None, :, :3], axis=-1
+    ).min(axis=0)
+    assert np.all(d < 0.15), d
+
+
+def test_device_empty_keyframes():
+    cfg = _cfg()
+    seq = SyntheticSequence(n_frames=10, n_boxes=3, seed=2)
+
+    class EmptyDetector:
+        def __call__(self, frame):
+            return dict(
+                scores=np.zeros(0, np.float32),
+                pred_boxes=np.zeros((0, 4), np.float32),
+                boxes3d=np.zeros((0, 6), np.float32),
+                R=np.zeros((0, 3, 3), np.float32),
+                proj_xy=np.zeros((0, 2), np.float32),
+            )
+
+    dev = DevicePipeline(cfg, EmptyDetector(), capacity=64)
+    world = dev.run(seq, gap=5)
+    assert len(world["scores"]) == 0
