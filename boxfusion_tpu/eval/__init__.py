@@ -1,0 +1,4 @@
+from boxfusion_tpu.eval.ap3d import average_precision_3d, match_detections
+from boxfusion_tpu.eval.runner import evaluate_sequences
+
+__all__ = ["average_precision_3d", "match_detections", "evaluate_sequences"]

@@ -1,0 +1,105 @@
+"""Multi-sequence evaluation fan-out.
+
+Capability target: the reference's batch-eval workflow -- one demo.py
+invocation per val.txt sequence with skip-if-exists resume (demo.py:434-436)
+-- plus the TPU-parallel fan-out SURVEY.md section 2 calls for: sequences
+are embarrassingly parallel, so on a multi-device host each device runs its
+own device-resident pipeline and sequences are scheduled round-robin
+(``jax.default_device`` pins each pipeline's state and steps to one chip;
+no collectives are needed -- results are gathered as host pickles exactly
+like the reference).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from boxfusion_tpu.geometry.boxes import box_corners
+
+
+def _world_corners(world: Dict[str, np.ndarray]) -> np.ndarray:
+    import jax.numpy as jnp
+
+    if len(world["scores"]) == 0:
+        return np.zeros((0, 8, 3), np.float32)
+    return np.asarray(
+        box_corners(jnp.asarray(world["xyzlhw"]), jnp.asarray(world["R"]))
+    )
+
+
+def evaluate_sequences(
+    cfg,
+    sequences: Sequence,
+    detector_factory: Callable,
+    gt_provider: Optional[Callable] = None,
+    output_dir: Optional[str] = None,
+    devices: Optional[List] = None,
+    capacity: int = 512,
+) -> Dict:
+    """Run the online pipeline over many sequences, fanned out over devices.
+
+    Args:
+      sequences: iterables of Frames (each must have ``video_id``).
+      detector_factory: sequence -> detector callable.
+      gt_provider: optional sequence -> (G, 8, 3) GT world corners; enables
+        AP computation.
+      output_dir: if set, per-sequence fused-box pickles are written in the
+        reference's format and existing outputs are skipped (resume).
+      devices: jax devices to round-robin over (default: all).
+
+    Returns:
+      dict with per-sequence results and (if gt_provider) AP metrics.
+    """
+    from boxfusion_tpu.eval.ap3d import average_precision_3d
+    from boxfusion_tpu.runtime.device_pipeline import DevicePipeline
+    from boxfusion_tpu.utils.io import save_box
+
+    devices = devices or jax.devices()
+    results = []
+    t0 = time.time()
+
+    for i, seq in enumerate(sequences):
+        video_id = getattr(seq, "video_id", f"seq{i}")
+        out_path = (
+            os.path.join(output_dir, f"{video_id}_boxes.pkl") if output_dir else None
+        )
+        if out_path and os.path.exists(out_path):
+            print(f"[eval] {video_id}: output exists, skipping")
+            continue
+
+        dev = devices[i % len(devices)]
+        with jax.default_device(dev):
+            pipe = DevicePipeline(cfg, detector_factory(seq), capacity=capacity)
+            world = pipe.run(seq)
+
+        corners = _world_corners(world)
+        entry = dict(
+            video_id=video_id,
+            n_boxes=int(len(world["scores"])),
+            fps=pipe.fps,
+            pred_corners=corners,
+            pred_scores=np.asarray(world["scores"]),
+        )
+        if gt_provider is not None:
+            entry["gt_corners"] = np.asarray(gt_provider(seq))
+        results.append(entry)
+
+        if out_path:
+            os.makedirs(output_dir, exist_ok=True)
+            save_box(
+                [[(0, corners[n], 1.0) for n in range(len(corners))]], out_path
+            )
+
+    out = dict(
+        sequences=results,
+        wall_s=time.time() - t0,
+        mean_fps=float(np.mean([r["fps"] for r in results])) if results else 0.0,
+    )
+    if gt_provider is not None and results:
+        out["ap_0.25"] = average_precision_3d(results, iou_thresh=0.25)
+        out["ap_0.50"] = average_precision_3d(results, iou_thresh=0.50)
+    return out

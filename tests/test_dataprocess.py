@@ -1,0 +1,149 @@
+"""Tests for offline data prep, readers, checkpointing."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from boxfusion_tpu.data_process import (
+    classify_sequence_orientation,
+    convert_capture_to_slam,
+    filter_gt_boxes,
+    read_ply_points,
+)
+from boxfusion_tpu.data_process.gt_filter import frustum_culling_mask, proximity_mask
+
+
+def _write_capture(root, n_frames=3, hw=(48, 64)):
+    """Synthesize a raw CA-1M capture directory."""
+    cap = root / "42898867"
+    h, w = hw
+    rng = np.random.RandomState(0)
+    for i in range(n_frames):
+        wide = cap / f"{i:06d}.wide"
+        gt = cap / f"{i:06d}.gt"
+        (gt / "image").mkdir(parents=True, exist_ok=True)
+        (gt / "depth").mkdir(parents=True, exist_ok=True)
+        wide.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(wide / "image.png")
+        Image.fromarray((rng.rand(h, w) * 3000).astype(np.uint16)).save(gt / "depth.png")
+        pose = np.eye(4)
+        pose[:3, 3] = [0.1 * i, 0, 0]
+        (gt / "RT.json").write_text(json.dumps(pose.tolist()))
+        (wide / "T_gravity.json").write_text(json.dumps(np.eye(3).tolist()))
+        K = [[50.0, 0, w / 2], [0, 50.0, h / 2], [0, 0, 1]]
+        (gt / "image" / "K.json").write_text(json.dumps(K))
+        (gt / "depth" / "K.json").write_text(json.dumps(K))
+    world = cap / "world.gt"
+    world.mkdir(exist_ok=True)
+    (world / "instances.json").write_text(
+        json.dumps([{"corners": np.zeros((8, 3)).tolist()}])
+    )
+    return cap
+
+
+def test_convert_capture_and_read(tmp_path):
+    cap = _write_capture(tmp_path)
+    out = tmp_path / "slam" / "42898867"
+    stats = convert_capture_to_slam(str(cap), str(out))
+    assert stats["frames"] == 3
+    assert (out / "all_poses.npy").exists()
+    assert (out / "K_depth.txt").exists()
+    assert (out / "instances.json").exists()
+
+    # the converted layout is readable by the CA-1M online reader
+    from boxfusion_tpu.data.readers import CA1MDataset
+    from boxfusion_tpu.utils.config import load_config
+
+    cfg = load_config("config/ca1m.yaml")
+    cfg["data"]._data["datadir"] = str(out)
+    # CA-1M convention: cam.H = image width (short), cam.W = image height
+    # (capture_stream.py:359-360); this synthetic capture is landscape 48x64
+    cfg["cam"]._data["H"] = 64
+    cfg["cam"]._data["W"] = 48
+    ds = CA1MDataset(cfg)
+    frames = list(ds)
+    assert len(frames) == 3
+    f = frames[0]
+    assert f.image.shape[2] == 3 and f.depth is not None
+    assert f.K.shape == (3, 3) and f.gt_pose.shape == (4, 4)
+
+    kind, v, h = classify_sequence_orientation(str(out))
+    assert kind == "horizontal"
+
+
+def test_ply_reader_roundtrip(tmp_path):
+    pts = np.random.RandomState(0).randn(10, 3)
+    ascii_ply = tmp_path / "a.ply"
+    lines = ["ply", "format ascii 1.0", "element vertex 10",
+             "property float x", "property float y", "property float z",
+             "end_header"]
+    lines += [" ".join(f"{v:.6f}" for v in p) for p in pts]
+    ascii_ply.write_text("\n".join(lines) + "\n")
+    got = read_ply_points(str(ascii_ply))
+    np.testing.assert_allclose(got, pts, atol=1e-5)
+
+    import struct
+
+    bin_ply = tmp_path / "b.ply"
+    with open(bin_ply, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\nelement vertex 10\n"
+                b"property float x\nproperty float y\nproperty float z\nend_header\n")
+        for p in pts:
+            f.write(struct.pack("<fff", *p))
+    got = read_ply_points(str(bin_ply))
+    np.testing.assert_allclose(got, pts, atol=1e-5)
+
+
+def test_gt_filter_frustum_and_proximity():
+    from boxfusion_tpu.geometry.boxes import box_corners
+    import jax.numpy as jnp
+
+    # box in front of the camera and a box far behind
+    t = jnp.asarray([[0, 0, 2.0, 0.5, 0.5, 0.5], [0, 0, -5.0, 0.5, 0.5, 0.5]])
+    corners = np.asarray(box_corners(t, jnp.tile(jnp.eye(3)[None], (2, 1, 1))))
+    K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]])
+    poses = np.eye(4)[None]
+
+    m = frustum_culling_mask(corners, K, poses, (64, 64))
+    assert m[0] and not m[1]
+
+    # proximity: points hugging box 0's corners
+    pts = corners[0] + 0.01
+    pm = proximity_mask(corners, pts, threshold=0.1)
+    assert pm[0] and not pm[1]
+
+    kept = filter_gt_boxes(corners, K, poses, (64, 64), gt_points=pts)
+    assert kept.shape[0] == 1
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from boxfusion_tpu.runtime.device_state import init_state
+    from boxfusion_tpu.utils.checkpoint import (
+        restore_params,
+        restore_pipeline_state,
+        save_params,
+        save_pipeline_state,
+    )
+
+    params = {"a": {"kernel": jnp.arange(6.0).reshape(2, 3)}, "b": jnp.ones(4)}
+    p = tmp_path / "params"
+    save_params(str(p), params)
+    back = restore_params(str(p))
+    np.testing.assert_allclose(np.asarray(back["a"]["kernel"]), np.arange(6).reshape(2, 3))
+
+    state = init_state(capacity=8, max_views=3, obs_capacity=16)
+    state = state.tree_unflatten(None, state.tree_flatten()[0])  # copy
+    import dataclasses
+
+    state = dataclasses.replace(state, n=jnp.int32(2), scores=state.scores.at[0].set(0.5))
+    sp = tmp_path / "pipeline"
+    save_pipeline_state(str(sp), state)
+    restored = restore_pipeline_state(str(sp))
+    assert int(restored.n) == 2
+    assert float(restored.scores[0]) == 0.5
+    assert restored.flist.shape == (8, 3)

@@ -1,0 +1,89 @@
+"""Tests for the 3D AP evaluator and multi-sequence fan-out."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from boxfusion_tpu.eval import average_precision_3d, evaluate_sequences, match_detections
+from boxfusion_tpu.geometry.boxes import box_corners
+
+
+def _corners(t, R=None):
+    t = jnp.asarray(t, jnp.float32)
+    R = jnp.tile(jnp.eye(3)[None], (t.shape[0], 1, 1)) if R is None else jnp.asarray(R)
+    return np.asarray(box_corners(t, R))
+
+
+def test_match_detections_perfect():
+    gt = _corners([[0, 0, 0, 1, 1, 1], [3, 0, 0, 1, 1, 1]])
+    tp, n_gt = match_detections(gt, np.array([0.9, 0.8]), gt, 0.25)
+    assert n_gt == 2 and tp.all()
+
+
+def test_match_no_double_counting():
+    gt = _corners([[0, 0, 0, 1, 1, 1]])
+    pred = _corners([[0, 0, 0, 1, 1, 1], [0.02, 0, 0, 1, 1, 1]])
+    tp, _ = match_detections(pred, np.array([0.9, 0.8]), gt, 0.25)
+    assert tp[0] and not tp[1]  # second overlapping det is a FP
+
+
+def test_ap_perfect_and_degraded():
+    gt = _corners([[0, 0, 0, 1, 1, 1], [3, 0, 0, 1, 1, 1], [0, 3, 0, 1, 1, 1]])
+    perfect = [dict(pred_corners=gt, pred_scores=np.array([0.9, 0.8, 0.7]), gt_corners=gt)]
+    m = average_precision_3d(perfect, 0.25)
+    assert m["ap"] > 0.99 and m["recall"] == 1.0
+
+    # one miss + one false positive
+    fp = _corners([[10, 10, 10, 1, 1, 1]])
+    degraded = [
+        dict(
+            pred_corners=np.concatenate([gt[:2], fp]),
+            pred_scores=np.array([0.9, 0.8, 0.95]),
+            gt_corners=gt,
+        )
+    ]
+    m2 = average_precision_3d(degraded, 0.25)
+    assert m2["ap"] < m["ap"]
+    assert abs(m2["recall"] - 2 / 3) < 1e-6
+
+
+def test_evaluate_sequences_fanout(tmp_path):
+    from boxfusion_tpu.data.synthetic import OracleDetector, SyntheticSequence
+    from boxfusion_tpu.utils.config import load_config
+
+    cfg = load_config("config/ca1m.yaml")
+    cfg["data"]._data["gap"] = 5
+    cfg["detection"]._data["score_thresh"] = 0.3
+    cfg["detection"]._data["uv_bound"] = False
+    cfg["detection"]._data["floor_mask"] = False
+    cfg["detection"]._data["max_detections"] = 16
+    cfg["box_fusion"]._data["pst_path"] = None
+    cfg["box_fusion"]._data["pst_size"] = 128
+    cfg["box_fusion"]._data["iters"] = 4
+    cfg["box_fusion"]._data["max_fusions_per_frame"] = 4
+    cfg["association"]._data["max_views"] = 5
+
+    seqs = [
+        SyntheticSequence(n_frames=15, n_boxes=3, seed=s, video_id=f"synth{s}")
+        for s in (0, 1)
+    ]
+
+    def gt_provider(seq):
+        return _corners(seq.gt_xyzlhw, seq.gt_R)
+
+    out = evaluate_sequences(
+        cfg,
+        seqs,
+        detector_factory=lambda s: OracleDetector(s, noise=0.0),
+        gt_provider=gt_provider,
+        output_dir=str(tmp_path),
+        capacity=64,
+    )
+    assert len(out["sequences"]) == 2
+    assert out["ap_0.25"]["ap"] > 0.99, out["ap_0.25"]
+    assert (tmp_path / "synth0_boxes.pkl").exists()
+
+    # resume: second call skips both
+    out2 = evaluate_sequences(
+        cfg, seqs, lambda s: OracleDetector(s), output_dir=str(tmp_path), capacity=64
+    )
+    assert len(out2["sequences"]) == 0
