@@ -112,7 +112,7 @@ def main(argv=None) -> int:
     if args.engine == "device":
         from boxfusion_tpu.runtime.device_pipeline import DevicePipeline
 
-        pipe = DevicePipeline(cfg, detector)
+        pipe = DevicePipeline(cfg, detector, labeler=labeler)
         out = pipe.run(dataset)
         print(f"[cli] device engine: {len(out['scores'])} world boxes")
         return 0

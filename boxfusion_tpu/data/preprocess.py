@@ -75,15 +75,25 @@ def standardize_depth(depth: jnp.ndarray, trunc_value: float = 0.1):
     mean = jnp.where(degenerate, 0.0, mean)
     std = jnp.where(degenerate, 1.0, std)
 
-    filled = jnp.where(valid, depth, mean)
+    filled = jnp.where(depth > 0.0, depth, mean)
     out = (filled - mean) / std
     return out, jnp.stack([mean, std])
+
+
+# The reference normalizes with `pixel_mean.to(measurement.data)` where
+# `data` is still the raw uint8 image (preprocessor.py:142), so the float
+# constants get uint8-TRUNCATED before use.  Mirrored here for activation
+# parity with the reference inference path.
+PIXEL_MEAN_U8 = PIXEL_MEAN.astype(np.uint8).astype(np.float32)
+PIXEL_STD_U8 = PIXEL_STD.astype(np.uint8).astype(np.float32)
 
 
 @partial(jax.jit, static_argnames=("square", "ratio"))
 def _package_jit(image_u8, depth, K, T_gravity, square: int, ratio: int):
     h, w = image_u8.shape[0], image_u8.shape[1]
-    img = (image_u8.astype(jnp.float32) - jnp.asarray(PIXEL_MEAN)) / jnp.asarray(PIXEL_STD)
+    img = (image_u8.astype(jnp.float32) - jnp.asarray(PIXEL_MEAN_U8)) / jnp.asarray(
+        PIXEL_STD_U8
+    )
     img = jnp.pad(img, ((0, square - h), (0, square - w), (0, 0)))
 
     if depth is not None:

@@ -60,24 +60,58 @@ class Frame:
     timestamp: int
 
 
+def _native():
+    from boxfusion_tpu.native import get_loader
+
+    return get_loader()
+
+
 def _resize_rgb(arr: np.ndarray, size_wh: Tuple[int, int]) -> np.ndarray:
     if (arr.shape[1], arr.shape[0]) == tuple(size_wh):
         return arr
+    nl = _native()
+    if nl is not None and arr.dtype == np.uint8 and arr.ndim == 3:
+        return nl.resize_rgb(arr, size_wh)
     return np.asarray(Image.fromarray(arr).resize(size_wh, Image.BILINEAR))
 
 
 def _resize_depth(arr: np.ndarray, size_wh: Tuple[int, int]) -> np.ndarray:
     if (arr.shape[1], arr.shape[0]) == tuple(size_wh):
         return arr
+    nl = _native()
+    if nl is not None:
+        return nl.resize_f32(arr.astype(np.float32), size_wh)
     return np.asarray(
         Image.fromarray(arr.astype(np.float32), mode="F").resize(size_wh, Image.BILINEAR)
     )
 
 
+def _load_rgb(path: str) -> np.ndarray:
+    nl = _native()
+    if nl is not None:
+        with open(path, "rb") as f:
+            data = f.read()
+        try:
+            if path.endswith((".jpg", ".jpeg")):
+                return nl.decode_jpeg(data)
+            arr = nl.decode_png(data)
+            if arr.ndim == 3 and arr.dtype == np.uint8:
+                return arr
+        except ValueError:
+            pass
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
 def _load_depth_png(path: str, scale: float) -> np.ndarray:
-    img = Image.open(path)
-    arr = np.asarray(img)
-    return arr.astype(np.float32) / scale
+    nl = _native()
+    if nl is not None:
+        with open(path, "rb") as f:
+            data = f.read()
+        try:
+            return nl.decode_png(data).astype(np.float32) / scale
+        except ValueError:
+            pass
+    return np.asarray(Image.open(path)).astype(np.float32) / scale
 
 
 def _scale_K(K: np.ndarray, sx: float, sy: float) -> np.ndarray:
@@ -174,7 +208,7 @@ class ScannetDataset(_PosedSequence):
 
     def __iter__(self) -> Iterator[Frame]:
         for i in range(len(self.img_files)):
-            image = np.asarray(Image.open(self.img_files[i]).convert("RGB"))
+            image = _load_rgb(self.img_files[i])
             depth = _load_depth_png(self.depth_files[i], self.depth_scale)
             # color resized to depth resolution (capture_stream.py:205-206),
             # then both to the configured camera size.
@@ -235,7 +269,7 @@ class CA1MDataset(_PosedSequence):
                 K = np.array(
                     [[a[0, 0], 0, a[0, 2]], [0, a[1, 1], a[1, 2]], [0, 0, 1]], np.float32
                 )
-            image = np.asarray(Image.open(self.img_files[i]).convert("RGB"))
+            image = _load_rgb(self.img_files[i])
             depth = _load_depth_png(self.depth_files[i], self.depth_scale)
             if self.scales is not None:
                 depth = depth / float(self.scales[i])

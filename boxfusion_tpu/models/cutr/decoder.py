@@ -128,20 +128,20 @@ class DecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, tgt, query_pos, reference_2d, src, src_pos, hw, self_attn_mask, num_prefix):
         # self attention (pre-norm).
-        t2 = nn.LayerNorm(name="norm2")(tgt)
+        t2 = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt)
         qk = t2 + query_pos
         t2 = TorchMHA(self.n_heads, name="self_attn")(qk, qk, t2, mask=self_attn_mask)
         tgt = tgt + t2
 
         # global cross attention.
-        t2 = nn.LayerNorm(name="norm1")(tgt)
+        t2 = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
         t2 = GlobalCrossAttention(num_heads=self.n_heads, name="xattn")(
             t2 + query_pos, reference_2d, src + src_pos, src, hw, num_prefix
         )
         tgt = tgt + t2
 
         # ffn.
-        t2 = nn.LayerNorm(name="norm3")(tgt)
+        t2 = nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt)
         t2 = nn.Dense(self.d_ffn, name="linear1")(t2)
         t2 = nn.relu(t2)
         t2 = nn.Dense(self.d_model, name="linear2")(t2)

@@ -118,7 +118,7 @@ class EncoderProposals(nn.Module):
         lvl1 = nn.Conv(C, (2, 2), strides=(2, 2), padding="VALID", name="enc_output_proj_1")(src_2d)
         mems.append(lvl1)
         l2 = nn.Conv(C, (2, 2), strides=(2, 2), padding="VALID", name="enc_output_proj_2_0")(src_2d)
-        l2 = nn.LayerNorm(name="enc_output_proj_2_1")(l2)
+        l2 = nn.LayerNorm(epsilon=1e-5, name="enc_output_proj_2_1")(l2)
         l2 = nn.gelu(l2, approximate=False)
         l2 = nn.Conv(C, (2, 2), strides=(2, 2), padding="VALID", name="enc_output_proj_2_3")(l2)
         mems.append(l2)
@@ -148,7 +148,7 @@ class EncoderProposals(nn.Module):
         anchors = jnp.where(valid[..., None], anchors, fill)
         memory = jnp.where(valid[..., None], memory, 0.0)
         memory = nn.Dense(C, name="enc_output")(memory)
-        memory = nn.LayerNorm(name="enc_output_norm")(memory)
+        memory = nn.LayerNorm(epsilon=1e-5, name="enc_output_norm")(memory)
 
         enc_logits = ClassPredictor(name="class_predictor")(memory)
         _, enc_boxes = DeltaBox2DPredictor(name="delta_box_predictor")(
@@ -209,7 +209,7 @@ class CubifyTransformer(nn.Module):
             DecoderLayer(d_model=cfg.decoder_dim, name=f"decoder_layer_{i}")
             for i in range(cfg.num_decoder_layers)
         ]
-        self.decoder_norm = nn.LayerNorm(name="decoder_norm")
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
         self.scale_predictors = [
             ScalePredictor(name=f"scale_predictor_{i}")
             for i in range(cfg.num_decoder_layers)
@@ -286,8 +286,15 @@ class CubifyTransformer(nn.Module):
             xb = x[:, nm:]
             logits = self.class_predictors[lid](xb)
             _, boxes = self.box2d_predictors[lid](xb, reference_2d, clamp_wh)
+            # RGB-D: de-whiten with the GT depth whitening (the reference's
+            # WhitenedDepthMeasurementInfo branch, cubify_transformer.py:
+            # 568-586); RGB-only: use the metric tokens' predicted (shift,
+            # scale) like the reference's monocular path.
+            scale_params = (
+                batch.depth_params if cfg.depth_model else depth_params_pred
+            )
             box3d = self.box3d_predictors[lid](
-                xb, boxes, batch.depth_params, clamp_wh
+                xb, boxes, scale_params, clamp_wh
             )
             pred = dict(
                 logits=logits,

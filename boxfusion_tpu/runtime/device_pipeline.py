@@ -58,12 +58,15 @@ class DevicePipeline:
         device) or numpy arrays (uploaded once).
     """
 
-    def __init__(self, cfg, detector: Callable, capacity: int = 512):
+    def __init__(self, cfg, detector: Callable, labeler: Optional[Callable] = None,
+                 capacity: int = 512):
         from boxfusion_tpu.utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
         self.cfg = cfg
         self.detector = detector
+        self.labeler = labeler
+        self.class_list = None
         self.step_cfg = step_config_from(cfg)
         self.state = init_state(
             capacity=capacity,
@@ -79,10 +82,35 @@ class DevicePipeline:
     def process_keyframe(self, frame) -> None:
         det = self.detector(frame)
         det = {
-            k: v
+            k: np.asarray(v)
             for k, v in det.items()
             if k in ("scores", "pred_boxes", "boxes3d", "R", "proj_xy", "category")
         }
+
+        # open-vocab labeling + CLIP score boost (demo.py:161-171): label
+        # crops, boost scores, drop background; category ids ride into the
+        # device state.
+        if self.labeler is not None and det["scores"].shape[0] > 0:
+            from boxfusion_tpu.models.clip.head import scale_boxes
+
+            h0, w0 = frame.image.shape[:2]
+            boxes = scale_boxes(
+                det["pred_boxes"], h0, w0,
+                scale=float(self.cfg["detection"]["scale_box"]),
+            )
+            categories, _, sims = self.labeler(frame.image, boxes)
+            if self.class_list is None:
+                self.class_list = list(self.labeler.class_list) + [""]
+            cat_idx = np.asarray(
+                [self.class_list.index(c) if c in self.class_list else 0 for c in categories],
+                np.int32,
+            )
+            det["scores"] = det["scores"] + (
+                float(self.cfg["box_fusion"]["clip_sim_coeff"]) * np.asarray(sims) / 100.0
+            ).astype(np.float32)
+            background = np.asarray([c == "" for c in categories])
+            det["scores"] = np.where(background, -1e9, det["scores"]).astype(np.float32)
+            det["category"] = cat_idx
         # pad to the static detection capacity (padded rows score -1e9 and
         # are dropped by the score filter on device)
         kmax = int(self.cfg["detection"]["max_detections"])
@@ -113,6 +141,21 @@ class DevicePipeline:
             self.step_cfg,
         )
 
+    def save_state(self, path: str) -> None:
+        """Snapshot the full device state mid-sequence (resume later)."""
+        import jax as _jax
+
+        _jax.block_until_ready(self.state.n)
+        from boxfusion_tpu.utils.checkpoint import save_pipeline_state
+
+        save_pipeline_state(path, self.state)
+
+    def restore_state(self, path: str, count: int = 0) -> None:
+        from boxfusion_tpu.utils.checkpoint import restore_pipeline_state
+
+        self.state = restore_pipeline_state(path)
+        self.count = count
+
     def run(self, dataset, gap: Optional[int] = None, verbose: bool = False):
         gap = int(self.cfg["data"]["gap"]) if gap is None else gap
         start = time.time()
@@ -124,4 +167,4 @@ class DevicePipeline:
         duration = time.time() - start
         self.fps = self.count / max(duration, 1e-9)
         print(f"Cost: {duration:.2f} s Average FPS: {self.fps:.2f}")
-        return export_world(self.state)
+        return export_world(self.state, class_list=self.class_list)

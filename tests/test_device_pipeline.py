@@ -76,6 +76,27 @@ def test_device_noisy_runs_and_fuses():
     assert np.all(d < 0.15), d
 
 
+def test_device_with_labeler():
+    from boxfusion_tpu.models.clip.head import OpenVocabLabeler
+    from boxfusion_tpu.models.clip.model import CLIPConfig
+
+    cfg = _cfg()
+    tiny = CLIPConfig(
+        patch=32, width=64, layers=2, heads=2, embed_dim=32,
+        vocab_size=64, context_length=8, text_width=64, text_layers=1, text_heads=2,
+    )
+    tf = np.random.RandomState(0).randn(4, 32).astype(np.float32)
+    labeler = OpenVocabLabeler(
+        ["chair", "table", "sofa", "lamp"], tf, cfg=tiny, sim_thres=-1e9, max_boxes=16
+    ).init_random()
+
+    seq = SyntheticSequence(n_frames=15, n_boxes=3, seed=5)
+    dev = DevicePipeline(cfg, OracleDetector(seq), labeler=labeler, capacity=64)
+    world = dev.run(seq, gap=5)
+    assert len(world["scores"]) == 3
+    assert all(c in ("chair", "table", "sofa", "lamp") for c in world["categories"])
+
+
 def test_device_empty_keyframes():
     cfg = _cfg()
     seq = SyntheticSequence(n_frames=10, n_boxes=3, seed=2)

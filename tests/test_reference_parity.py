@@ -1,0 +1,243 @@
+"""Activation parity: the flax CuTR vs the reference torch model.
+
+Imports the reference implementation from /root/reference (read-only),
+stubbing its two unavailable third-party imports (timm.layers.Mlp and
+torchvision.transforms, neither of which affects the compute path), builds
+it with random weights, converts the state dict with
+models/cutr/convert.py, runs BOTH stacks end to end on the same frame --
+reference Augmentor/Preprocessor/model vs our Preprocessor/model -- and
+compares detections numerically.
+
+Skipped when the reference tree is not mounted.
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+
+
+def _install_reference(monkeypatch=None):
+    import torch
+    import torch.nn as nn
+
+    class Mlp(nn.Module):
+        def __init__(self, in_features, hidden_features, act_layer=nn.GELU, bias=True):
+            super().__init__()
+            self.fc1 = nn.Linear(in_features, hidden_features, bias=bias)
+            self.act = act_layer()
+            self.fc2 = nn.Linear(hidden_features, in_features, bias=bias)
+
+        def forward(self, x):
+            return self.fc2(self.act(self.fc1(x)))
+
+    timm = types.ModuleType("timm")
+    layers = types.ModuleType("timm.layers")
+    layers.Mlp = Mlp
+    timm.layers = layers
+    sys.modules.setdefault("timm", timm)
+    sys.modules.setdefault("timm.layers", layers)
+
+    class _Noop:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):
+            return x
+
+    tv = types.ModuleType("torchvision")
+    tvt = types.ModuleType("torchvision.transforms")
+    tvt.Compose = lambda fns: _Noop()
+    tvt.Normalize = _Noop
+    tv.transforms = tvt
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.transforms", tvt)
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+
+
+@pytest.fixture(scope="module")
+def parity_setup():
+    _install_reference()
+    import torch
+
+    from boxfusion.cubify_transformer import make_cubify_transformer
+    from boxfusion.measurement import DepthMeasurementInfo, ImageMeasurementInfo
+    from boxfusion.preprocessor import Augmentor, Preprocessor as RefPreprocessor
+    from boxfusion.sensor import PosedSensorInfo, SensorArrayInfo
+
+    torch.manual_seed(0)
+    ref_model = make_cubify_transformer(dimension=192, depth_model=True).eval()
+
+    # one upright frame (H=192, W=256 -> square pad 256, rgb:depth ratio 1)
+    H, W = 192, 256
+    rng = np.random.RandomState(0)
+    image = rng.randint(0, 255, (H, W, 3), np.uint8)
+    depth = (rng.rand(H, W) * 3.0 + 0.3).astype(np.float32)
+    depth[rng.rand(H, W) < 0.05] = 0.0  # invalid holes
+    K = np.array([[210.0, 0, W / 2 - 3], [0, 210.0, H / 2 + 2], [0, 0, 1]], np.float32)
+    T_gravity = np.array(
+        [[0.9962, 0.0, 0.0872], [0.0, 1.0, 0.0], [-0.0872, 0.0, 0.9962]], np.float32
+    )
+    pose = np.eye(4, dtype=np.float32)
+
+    wide = PosedSensorInfo()
+    wide.image = ImageMeasurementInfo(size=(W, H), K=torch.tensor(K)[None])
+    wide.depth = DepthMeasurementInfo(size=(W, H), K=torch.tensor(K)[None])
+    wide.RT = torch.eye(4)[None]
+    wide.T_gravity = torch.tensor(T_gravity)[None]
+    gt = PosedSensorInfo()
+    gt.RT = torch.tensor(pose)[None]
+    gt.depth = wide.depth
+
+    sensor_info = SensorArrayInfo()
+    sensor_info.wide = wide
+    sensor_info.gt = gt
+
+    sample = {
+        "wide": {
+            "image": torch.tensor(np.moveaxis(image, -1, 0))[None],
+            "depth": torch.tensor(depth)[None],
+        },
+        "sensor_info": sensor_info,
+        "meta": {"video_id": "parity", "timestamp": 0},
+    }
+
+    packaged = Augmentor(("wide/image", "wide/depth")).package(sample)
+    packaged = RefPreprocessor().preprocess([packaged])
+    with torch.no_grad():
+        ref_out = ref_model(packaged)[0]
+
+    return dict(
+        ref_model=ref_model,
+        ref_out=ref_out,
+        image=image,
+        depth=depth,
+        K=K,
+        T_gravity=T_gravity,
+    )
+
+
+def test_activation_parity_end_to_end(parity_setup):
+    import jax
+    import jax.numpy as jnp
+
+    from boxfusion_tpu.data.preprocess import Preprocessor
+    from boxfusion_tpu.models.cutr import make_cutr
+    from boxfusion_tpu.models.cutr.convert import convert_cutr_checkpoint
+
+    s = parity_setup
+    sd = {k: v for k, v in s["ref_model"].state_dict().items()}
+    params, dim = convert_cutr_checkpoint(sd)
+    assert dim == 192
+
+    model = make_cutr(dimension=192, depth_model=True)
+    batch, square, ratio = Preprocessor()(s["image"], s["depth"], s["K"], s["T_gravity"])
+    assert (square, ratio) == (256, 1)
+    out = jax.jit(model.apply)(params, batch)
+
+    ref = s["ref_out"]
+    got_scores = np.asarray(out["scores"][0])
+    want_scores = ref.scores.numpy()
+    np.testing.assert_allclose(got_scores, want_scores, atol=2e-3)
+
+    # With random weights many queries emit near-identical probabilities, so
+    # top-k ORDER among ties is implementation-defined (torch.topk vs
+    # lax.top_k).  Compare per-detection fields only on tie-free rows: score
+    # gap to every neighbor > 1e-4.
+    gaps = np.abs(want_scores[:, None] - want_scores[None, :]) + np.eye(len(want_scores))
+    unique = gaps.min(axis=1) > 1e-4
+    assert unique.sum() >= 10, f"too few tie-free detections ({unique.sum()})"
+
+    got_boxes = np.asarray(out["pred_boxes"][0])[unique]
+    want_boxes = ref.pred_boxes.numpy()[unique]
+    np.testing.assert_allclose(got_boxes, want_boxes, atol=0.5)  # pixels
+
+    got_3d = np.asarray(out["boxes3d"][0])[unique]
+    want_3d = ref.pred_boxes_3d.tensor.numpy()[unique]
+    np.testing.assert_allclose(got_3d, want_3d, atol=5e-3)
+
+    got_R = np.asarray(out["R"][0])[unique]
+    want_R = ref.pred_boxes_3d.R.numpy()[unique]
+    np.testing.assert_allclose(got_R, want_R, atol=2e-3)
+
+    got_proj = np.asarray(out["proj_xy"][0])[unique]
+    want_proj = ref.pred_proj_xy.numpy()[unique]
+    np.testing.assert_allclose(got_proj, want_proj, atol=0.5)
+
+    got_cls = np.asarray(out["pred_classes"][0])[unique]
+    want_cls = ref.pred_classes.numpy()[unique]
+    np.testing.assert_array_equal(got_cls, want_cls)
+
+
+def test_activation_parity_ratio2_depth_window():
+    """rgb:depth ratio 2 -> depth window 8 joint attention path."""
+    _install_reference()
+    import torch
+
+    from boxfusion.cubify_transformer import make_cubify_transformer
+    from boxfusion.measurement import DepthMeasurementInfo, ImageMeasurementInfo
+    from boxfusion.preprocessor import Augmentor, Preprocessor as RefPreprocessor
+    from boxfusion.sensor import PosedSensorInfo, SensorArrayInfo
+
+    torch.manual_seed(1)
+    ref_model = make_cubify_transformer(dimension=192, depth_model=True).eval()
+
+    H, W = 160, 224
+    rng = np.random.RandomState(1)
+    image = rng.randint(0, 255, (H, W, 3), np.uint8)
+    depth = (rng.rand(H // 2, W // 2) * 4.0 + 0.2).astype(np.float32)
+    K = np.array([[180.0, 0, W / 2], [0, 180.0, H / 2], [0, 0, 1]], np.float32)
+    Kd = K.copy()
+    Kd[:2] /= 2
+
+    wide = PosedSensorInfo()
+    wide.image = ImageMeasurementInfo(size=(W, H), K=torch.tensor(K)[None])
+    wide.depth = DepthMeasurementInfo(size=(W // 2, H // 2), K=torch.tensor(Kd)[None])
+    wide.RT = torch.eye(4)[None]
+    wide.T_gravity = torch.eye(3)[None]
+    gt = PosedSensorInfo()
+    gt.RT = torch.eye(4)[None]
+    gt.depth = wide.depth
+    si = SensorArrayInfo()
+    si.wide = wide
+    si.gt = gt
+    sample = {
+        "wide": {
+            "image": torch.tensor(np.moveaxis(image, -1, 0))[None],
+            "depth": torch.tensor(depth)[None],
+        },
+        "sensor_info": si,
+        "meta": {},
+    }
+    packaged = Augmentor(("wide/image", "wide/depth")).package(sample)
+    packaged = RefPreprocessor().preprocess([packaged])
+    with torch.no_grad():
+        ref = ref_model(packaged)[0]
+
+    import jax
+
+    from boxfusion_tpu.data.preprocess import Preprocessor
+    from boxfusion_tpu.models.cutr import make_cutr
+    from boxfusion_tpu.models.cutr.convert import convert_cutr_checkpoint
+
+    params, _ = convert_cutr_checkpoint(ref_model.state_dict())
+    model = make_cutr(dimension=192, depth_model=True)
+    batch, square, ratio = Preprocessor()(image, depth, K, np.eye(3, dtype=np.float32))
+    assert (square, ratio) == (256, 2)
+    out = jax.jit(model.apply)(params, batch)
+
+    want_scores = ref.scores.numpy()
+    np.testing.assert_allclose(np.asarray(out["scores"][0]), want_scores, atol=2e-3)
+    gaps = np.abs(want_scores[:, None] - want_scores[None, :]) + np.eye(len(want_scores))
+    unique = gaps.min(axis=1) > 1e-4
+    np.testing.assert_allclose(
+        np.asarray(out["boxes3d"][0])[unique],
+        ref.pred_boxes_3d.tensor.numpy()[unique],
+        atol=5e-3,
+    )
