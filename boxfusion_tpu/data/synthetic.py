@@ -142,13 +142,13 @@ class OracleDetector:
             centers = centers + self.rng.normal(0, self.noise, centers.shape)
             dims = np.maximum(dims + self.rng.normal(0, self.noise, dims.shape), 0.05)
 
-        # tight 2D boxes from projected corners
-        from boxfusion_tpu.geometry.boxes import box_corners
-        import jax.numpy as jnp
+        # tight 2D boxes from projected corners (pure numpy: the oracle must
+        # not enqueue device work -- it stands in for a host data source)
+        from boxfusion_tpu.geometry.boxes import CORNER_SIGNS
 
-        corners = np.asarray(
-            box_corners(jnp.asarray(np.concatenate([centers, dims], 1)), jnp.asarray(R_cam[idx]))
-        )
+        half = dims * 0.5
+        local = CORNER_SIGNS[None] * half[:, None, :]
+        corners = np.einsum("nij,nkj->nki", R_cam[idx], local) + centers[:, None, :]
         cu = K[0, 0] * corners[..., 0] / np.maximum(corners[..., 2], 1e-6) + K[0, 2]
         cv = K[1, 1] * corners[..., 1] / np.maximum(corners[..., 2], 1e-6) + K[1, 2]
         cu = np.clip(cu, 0, w)

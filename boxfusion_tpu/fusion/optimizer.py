@@ -136,8 +136,8 @@ def optimize_boxes(
             [cfg.center_init_size] * 3 + [cfg.shape_init_size] * 3, jnp.float32
         )
 
-        def body(_, state):
-            xyzlhw, ss, prev_ss, prev_success, fail, need_update, done = state
+        def body(state):
+            xyzlhw, ss, prev_ss, prev_success, fail, need_update, done, it = state
             fitness = multiview_fitness(
                 xyzlhw, R, pst, ss, poses, corners, vmask, K, H, W
             )
@@ -159,7 +159,7 @@ def optimize_boxes(
             new_done = done | (fail >= cfg.fail_limit)
             ss = jnp.where(done, ss, new_ss)
             prev_success = jnp.where(done, prev_success, success)
-            return xyzlhw, ss, prev_ss, prev_success, fail, need_update, new_done
+            return xyzlhw, ss, prev_ss, prev_success, fail, need_update, new_done, it + 1
 
         state = (
             xyzlhw0,
@@ -169,8 +169,14 @@ def optimize_boxes(
             jnp.int32(0),
             jnp.bool_(False),
             ~active,  # inactive slots are born converged
+            jnp.int32(0),
         )
-        xyzlhw, *_, need_update, _ = jax.lax.fori_loop(0, cfg.iters, body, state)
+        # while-loop with early exit: identical trajectory to the reference's
+        # fixed loop (converged state is frozen anyway) but stops paying for
+        # iterations once this object is done.
+        xyzlhw, *_, need_update, _, _ = jax.lax.while_loop(
+            lambda s: (s[7] < cfg.iters) & ~s[6], body, state
+        )
         # final dims clamp (box_fusion.py:716-720), applied only when fused.
         dims = jnp.maximum(xyzlhw[3:], 0.01)
         fused = jnp.concatenate([xyzlhw[:3], dims])
