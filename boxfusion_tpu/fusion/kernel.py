@@ -248,6 +248,7 @@ def multiview_fitness(
     K: jnp.ndarray,
     H: jnp.ndarray,
     W: jnp.ndarray,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Fitness of every PST particle: mean over views of |1 - projected IoU|.
 
@@ -291,8 +292,40 @@ def multiview_fitness(
     uv = jnp.stack([u, v], axis=-1)  # (V, P, 8, 2)
 
     Vn, P = uv.shape[0], uv.shape[1]
-    # the observed polygon is shared by all particles of a view: prepare its
-    # hull/half-planes once per view, not per (particle, view) cell.
+
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if (jax.default_backend() == "tpu" and P % 128 == 0)
+            else "xla"
+        )
+
+    if impl == "pallas":
+        # VMEM-resident kernel path (ops/fitness_kernel.py): one grid cell
+        # per view, particles tiled (P/128, 128).
+        from boxfusion_tpu.ops.fitness_kernel import (
+            fitness_cells_pallas,
+            prepare_observed,
+        )
+
+        prep = prepare_observed(obs_corners)
+        uv_c = uv - prep["center"][:, None, None]
+        pt = P // 128
+        u = uv_c[..., 0].transpose(0, 2, 1).reshape(Vn, 8, pt, 128)
+        v_ = uv_c[..., 1].transpose(0, 2, 1).reshape(Vn, 8, pt, 128)
+        err = fitness_cells_pallas(
+            u,
+            v_,
+            prep["hull"],
+            prep["planes"],
+            prep["pvalid"],
+            prep["area"][:, None],
+            view_mask[:, None].astype(jnp.float32),
+        )  # (V, pt, 128), already view-masked
+        return jnp.sum(err.reshape(Vn, P), axis=0) / (jnp.sum(view_mask) + 1e-6)
+
+    # XLA path: the observed polygon is shared by all particles of a view:
+    # prepare its hull/half-planes once per view, not per (particle, view).
     center_v = jnp.mean(obs_corners, axis=1)  # (V, 2)
     prep_b = jax.vmap(prepare_polygon)(obs_corners - center_v[:, None])
 

@@ -41,6 +41,7 @@ class PSTOptConfig:
     max_contributors: int = 200  # cal_transform cap (box_fusion.py:514)
     min_scale: float = 1e-3
     fail_limit: int = 3
+    fitness_impl: str = "auto"  # "pallas" | "xla" | "auto"
 
 
 def init_opt_params(box_3d: jnp.ndarray, R: jnp.ndarray, scores: jnp.ndarray, mask: jnp.ndarray):
@@ -139,7 +140,8 @@ def optimize_boxes(
         def body(state):
             xyzlhw, ss, prev_ss, prev_success, fail, need_update, done, it = state
             fitness = multiview_fitness(
-                xyzlhw, R, pst, ss, poses, corners, vmask, K, H, W
+                xyzlhw, R, pst, ss, poses, corners, vmask, K, H, W,
+                impl=cfg.fitness_impl,
             )
             success, mean_iou, mean_transform = _cal_transform(
                 fitness, pst, ss, cfg.max_contributors

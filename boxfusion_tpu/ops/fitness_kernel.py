@@ -1,0 +1,338 @@
+"""Pallas TPU kernel for the multi-view projected-IoU fitness.
+
+This is the TPU-native replacement for the reference's inline CUDA kernel
+(reference box_fusion.py:63-407) at the layout level, not just the math
+level: the XLA formulation in fusion/kernel.py materializes the per-cell
+half-plane tensors ((cells, 28, 8) and friends) through HBM, making each
+optimizer iteration bandwidth-bound (~26 ms measured on v5e).  Here every
+intermediate lives in VMEM:
+
+  * one grid cell = one (object x view); all 1024 particles of that cell are
+    processed as native (8, 128) f32 tiles (particles span sublanes x lanes);
+  * the candidate polygon's 28 half-planes, its angularly sorted hull
+    (8-element Batcher sorting network), and both Green's-theorem boundary
+    integrals (fusion/kernel.py:_clipped_boundary_integral) are computed
+    with fully unrolled static loops -- no scatters, no dynamic shapes;
+  * the observed polygon is prepared once per view OUTSIDE the kernel
+    (hull + half-planes compacted to 12 slots + area), since it is shared
+    by all particles and all optimizer iterations.
+
+Numerics follow fusion/kernel.py exactly (same tolerances, same tie rules),
+which is itself Monte-Carlo-validated; parity tests run this kernel in
+interpret mode against the XLA path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from boxfusion_tpu.fusion.kernel import prepare_polygon
+
+_PAIR_I, _PAIR_J = np.triu_indices(8, k=1)
+PAIRS = list(zip(_PAIR_I.tolist(), _PAIR_J.tolist()))
+N_OBS_PLANES = 12  # >= 8 distinct hull edges, with margin for collinears
+
+# Batcher odd-even merge sort network for 8 elements (19 comparators).
+SORT_NET = [
+    (0, 1), (2, 3), (4, 5), (6, 7),
+    (0, 2), (1, 3), (4, 6), (5, 7),
+    (1, 2), (5, 6),
+    (0, 4), (1, 5), (2, 6), (3, 7),
+    (2, 4), (3, 5),
+    (1, 2), (3, 4), (5, 6),
+]
+
+_EPS = 1e-9
+
+
+def prepare_observed(obs_corners: jnp.ndarray):
+    """Per-view constants for the kernel: centered hull, planes, area.
+
+    Args:
+      obs_corners: (V, 8, 2) observed projected corners.
+
+    Returns:
+      dict(center (V, 2), hull (V, 8, 2), planes (V, 12, 3) [nx, ny, d],
+           pvalid (V, 12), area (V,)) -- hull/planes in centered coords.
+    """
+    center = jnp.mean(obs_corners, axis=1)
+    centered = obs_corners - center[:, None]
+
+    def one(pts):
+        hull, (n, d, valid), area = prepare_polygon(pts)
+        # compact the 28 candidate planes to the top-12 valid slots
+        _, idx = jax.lax.top_k(valid.astype(jnp.int32), N_OBS_PLANES)
+        planes = jnp.concatenate([n[idx], d[idx, None]], axis=-1)
+        return hull, planes, valid[idx].astype(jnp.float32), area
+
+    hull, planes, pvalid, area = jax.vmap(one)(centered)
+    return dict(center=center, hull=hull, planes=planes, pvalid=pvalid, area=area)
+
+
+def _cmp_swap(key, px, py, a, b):
+    ka, kb = key[a], key[b]
+    sw = ka > kb
+    key[a], key[b] = jnp.where(sw, kb, ka), jnp.where(sw, ka, kb)
+    for buf in (px, py):
+        va, vb = buf[a], buf[b]
+        buf[a], buf[b] = jnp.where(sw, vb, va), jnp.where(sw, va, vb)
+
+
+def _fitness_kernel(
+    u_ref, v_ref, hull_ref, planes_ref, pvalid_ref, area_ref, wmask_ref, err_ref
+):
+    """One (object x view) cell; particles as (PT, 128) tiles.
+
+    The small per-view constants (hull verts, planes, area, mask) are full
+    SMEM arrays indexed by the grid position (TPU block shapes must tile by
+    (8, 128) otherwise)."""
+    f32 = jnp.float32
+    c = pl.program_id(0)
+    u = [u_ref[0, k] for k in range(8)]  # 8 x (PT, 128) candidate corner xs
+    v = [v_ref[0, k] for k in range(8)]
+
+    # ---- A) candidate half-planes over all 28 point pairs -----------------
+    nxs, nys, ds, valids = [], [], [], []
+    tols = []
+    s_cache = []  # per pair: list of 8 side values (reused for vertex flags)
+    for (i, j) in PAIRS:
+        ex = u[j] - u[i]
+        ey = v[j] - v[i]
+        smin = None
+        smax = None
+        mrel = None
+        ss = []
+        for k in range(8):
+            du = u[k] - u[i]
+            dv = v[k] - v[i]
+            s = ex * dv - ey * du
+            ss.append(s)
+            smin = s if smin is None else jnp.minimum(smin, s)
+            smax = s if smax is None else jnp.maximum(smax, s)
+            m = jnp.maximum(jnp.abs(du), jnp.abs(dv))
+            mrel = m if mrel is None else jnp.maximum(mrel, m)
+        me = jnp.maximum(jnp.abs(ex), jnp.abs(ey))
+        tol = 2e-5 * mrel * me + _EPS
+        nondeg = ex * ex + ey * ey > _EPS
+        nonneg = smin >= -tol
+        nonpos = smax <= tol
+        valid = nondeg & (nonneg | nonpos)
+        sign = jnp.where(nonneg, f32(1.0), f32(-1.0))
+        nx = -ey * sign
+        ny = ex * sign
+        nxs.append(nx)
+        nys.append(ny)
+        ds.append(-(nx * u[i] + ny * v[i]))
+        valids.append(valid)
+        tols.append(tol)
+        s_cache.append(ss)
+
+    # ---- B) hull-vertex flags + anchor + angles ---------------------------
+    flags = [None] * 8
+    for p in range(len(PAIRS)):
+        for k in range(8):
+            on_edge = (jnp.abs(s_cache[p][k]) <= tols[p]) & valids[p]
+            flags[k] = on_edge if flags[k] is None else (flags[k] | on_edge)
+    any_valid = valids[0]
+    for p in range(1, len(PAIRS)):
+        any_valid = any_valid | valids[p]
+    # fallback: fully degenerate sets keep all vertices (bool algebra --
+    # Mosaic rejects select with a scalar bool operand)
+    flags = [fl | jnp.logical_not(any_valid) for fl in flags]
+
+    # anchor = first flagged vertex
+    ax = u[0]
+    ay = v[0]
+    found = flags[0]
+    for k in range(1, 8):
+        take = flags[k] & ~found
+        ax = jnp.where(take, u[k], ax)
+        ay = jnp.where(take, v[k], ay)
+        found = found | flags[k]
+
+    cnt = sum(fl.astype(f32) for fl in flags)
+    cx = sum(jnp.where(fl, uu, 0.0) for fl, uu in zip(flags, u)) / jnp.maximum(cnt, 1.0)
+    cy = sum(jnp.where(fl, vv, 0.0) for fl, vv in zip(flags, v)) / jnp.maximum(cnt, 1.0)
+
+    # pseudo-angle ("diamond angle"): monotonic in atan2, so sorting by it
+    # yields the same cyclic CCW order (rotated start point -- irrelevant for
+    # areas and clipping).  Mosaic has no atan2 primitive.
+    key = []
+    px = []
+    py = []
+    for k in range(8):
+        fx = jnp.where(flags[k], u[k], ax)
+        fy = jnp.where(flags[k], v[k], ay)
+        px.append(fx)
+        py.append(fy)
+        dx = fx - cx
+        dy = fy - cy
+        r = jnp.abs(dx) + jnp.abs(dy)
+        a = dx / jnp.where(r < _EPS, f32(1.0), r)
+        key.append(jnp.where(dy >= 0, 1.0 - a, 3.0 + a))
+
+    # ---- C) angular sort (Batcher network) --------------------------------
+    for (a, b) in SORT_NET:
+        _cmp_swap(key, px, py, a, b)
+
+    # ---- D) candidate hull area -------------------------------------------
+    area_a = None
+    for k in range(8):
+        k2 = (k + 1) % 8
+        t = px[k] * py[k2] - px[k2] * py[k]
+        area_a = t if area_a is None else area_a + t
+    area_a = jnp.abs(area_a) * 0.5
+
+    # ---- E) integral 1: candidate hull edges clipped by observed planes ---
+    # (tol_sign=+1 -> inclusive boundary; fusion/kernel.py convention)
+    # precompute sp[k][pl] and per-plane magnitude
+    n_obs = N_OBS_PLANES
+    obs_nx = [planes_ref[c, p, 0] for p in range(n_obs)]
+    obs_ny = [planes_ref[c, p, 1] for p in range(n_obs)]
+    obs_d = [planes_ref[c, p, 2] for p in range(n_obs)]
+    obs_ok = [pvalid_ref[c, p] > 0.5 for p in range(n_obs)]
+
+    spA = [[None] * 8 for _ in range(n_obs)]
+    tolA = [None] * n_obs
+    for p in range(n_obs):
+        amax = None
+        for k in range(8):
+            s = obs_nx[p] * px[k] + obs_ny[p] * py[k] + obs_d[p]
+            spA[p][k] = s
+            a = jnp.abs(s)
+            amax = a if amax is None else jnp.maximum(amax, a)
+        tolA[p] = -(2e-5 * amax + _EPS)  # inclusive threshold
+
+    integral = None
+    for e in range(8):
+        e2 = (e + 1) % 8
+        exv = px[e2] - px[e]
+        eyv = py[e2] - py[e]
+        t0 = jnp.zeros_like(exv)
+        t1 = jnp.ones_like(exv)
+        empty = jnp.zeros_like(exv, dtype=bool)
+        for p in range(n_obs):
+            sp = spA[p][e]
+            sq = spA[p][e2]
+            th = tolA[p]
+            inside_p = sp >= th
+            inside_q = sq >= th
+            denom = sp - sq
+            denom = jnp.where(jnp.abs(denom) < _EPS, f32(_EPS), denom)
+            tstar = (sp - th) / denom
+            entering = (~inside_p) & inside_q & obs_ok[p]
+            exiting = inside_p & (~inside_q) & obs_ok[p]
+            both_out = (~inside_p) & (~inside_q) & obs_ok[p]
+            t0 = jnp.maximum(t0, jnp.where(entering, tstar, 0.0))
+            t1 = jnp.minimum(t1, jnp.where(exiting, tstar, 1.0))
+            empty = empty | both_out
+        ax1 = px[e] + t0 * exv
+        ay1 = py[e] + t0 * eyv
+        bx1 = px[e] + t1 * exv
+        by1 = py[e] + t1 * eyv
+        contrib = ax1 * by1 - bx1 * ay1
+        contrib = jnp.where(empty | (t0 >= t1), 0.0, contrib)
+        integral = contrib if integral is None else integral + contrib
+
+    # ---- F) integral 2: observed hull edges clipped by candidate planes ---
+    # (tol_sign=-1 -> exclusive, so shared boundaries count once)
+    ohx = [hull_ref[c, k, 0] for k in range(8)]
+    ohy = [hull_ref[c, k, 1] for k in range(8)]
+
+    spB = [[None] * 8 for _ in range(len(PAIRS))]
+    tolB = [None] * len(PAIRS)
+    for p in range(len(PAIRS)):
+        amax = None
+        for k in range(8):
+            s = nxs[p] * ohx[k] + nys[p] * ohy[k] + ds[p]
+            spB[p][k] = s
+            a = jnp.abs(s)
+            amax = a if amax is None else jnp.maximum(amax, a)
+        tolB[p] = 2e-5 * amax + _EPS  # exclusive threshold
+
+    for e in range(8):
+        e2 = (e + 1) % 8
+        exv = ohx[e2] - ohx[e]
+        eyv = ohy[e2] - ohy[e]
+        t0 = jnp.zeros_like(area_a)
+        t1 = jnp.ones_like(area_a)
+        empty = jnp.zeros_like(area_a, dtype=bool)
+        for p in range(len(PAIRS)):
+            sp = spB[p][e]
+            sq = spB[p][e2]
+            th = tolB[p]
+            inside_p = sp >= th
+            inside_q = sq >= th
+            denom = sp - sq
+            denom = jnp.where(jnp.abs(denom) < _EPS, f32(_EPS), denom)
+            tstar = (sp - th) / denom
+            entering = (~inside_p) & inside_q & valids[p]
+            exiting = inside_p & (~inside_q) & valids[p]
+            both_out = (~inside_p) & (~inside_q) & valids[p]
+            t0 = jnp.maximum(t0, jnp.where(entering, tstar, 0.0))
+            t1 = jnp.minimum(t1, jnp.where(exiting, tstar, 1.0))
+            empty = empty | both_out
+        ax1 = ohx[e] + t0 * exv
+        ay1 = ohy[e] + t0 * eyv
+        bx1 = ohx[e] + t1 * exv
+        by1 = ohy[e] + t1 * eyv
+        contrib = ax1 * by1 - bx1 * ay1
+        integral = integral + jnp.where(empty | (t0 >= t1), 0.0, contrib)
+
+    # ---- G) IoU + error ----------------------------------------------------
+    area_b = area_ref[c, 0]
+    inter = jnp.maximum(integral * 0.5, 0.0)
+    inter = jnp.minimum(inter, jnp.minimum(area_a, area_b))
+    union = area_a + area_b - inter
+    iou = jnp.where(union > 0, inter / (union + 1e-5), 0.0)
+    err_ref[0] = jnp.abs(1.0 - iou) * wmask_ref[c, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fitness_cells_pallas(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    hull: jnp.ndarray,
+    planes: jnp.ndarray,
+    pvalid: jnp.ndarray,
+    area: jnp.ndarray,
+    wmask: jnp.ndarray,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Per-cell fitness errors.
+
+    Args:
+      u, v: (C, 8, 8, 128) candidate corner coords per cell (centered per
+        view); dims 2-3 tile the P=1024 particles as (8, 128).
+      hull: (C, 8, 2) observed hull (centered, CCW).
+      planes: (C, 12, 3); pvalid: (C, 12); area: (C, 1); wmask: (C, 1).
+
+    Returns:
+      (C, 8, 128) per-particle |1 - IoU| (0 for masked views).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    C, _, PT, _ = u.shape
+    return pl.pallas_call(
+        _fitness_kernel,
+        out_shape=jax.ShapeDtypeStruct((C, PT, 128), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(C,),
+            in_specs=[
+                pl.BlockSpec((1, 8, PT, 128), lambda c: (c, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, PT, 128), lambda c: (c, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, PT, 128), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(u, v, hull, planes, pvalid, area, wmask)
