@@ -73,6 +73,44 @@ def test_convert_capture_and_read(tmp_path):
     assert kind == "horizontal"
 
 
+def test_scannet_reader(tmp_path):
+    """Fake ScanNet frames dir: jpg color + 16-bit png depth + pose txts,
+    including the inf-pose fallback (capture_stream.py:170-174)."""
+    base = tmp_path / "scene0000_00" / "frames"
+    for sub in ("color", "depth", "pose"):
+        (base / sub).mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    h, w = 48, 64
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(
+            base / "color" / f"{i}.jpg"
+        )
+        Image.fromarray((rng.rand(h, w) * 3000).astype(np.uint16)).save(
+            base / "depth" / f"{i}.png"
+        )
+        pose = np.eye(4)
+        pose[:3, 3] = [0.05 * i, 0, 0]
+        if i == 1:
+            pose[0, 0] = np.inf  # invalid pose -> falls back to previous
+        np.savetxt(base / "pose" / f"{i}.txt", pose)
+
+    from boxfusion_tpu.data.readers import ScannetDataset
+    from boxfusion_tpu.utils.config import load_config
+
+    cfg = load_config("config/scannet.yaml")
+    cfg["data"]._data["datadir"] = str(base)
+    cfg["cam"]._data.update(dict(H=h, W=w, fx=50.0, fy=50.0, cx=w / 2, cy=h / 2))
+    ds = ScannetDataset(cfg)
+    frames = list(ds)
+    assert len(frames) == 3
+    assert ds.video_id == "scene0000_00"
+    # inf pose fell back to frame 0's pose
+    np.testing.assert_allclose(frames[1].gt_pose[:3, 3], frames[0].gt_pose[:3, 3])
+    assert frames[0].image.shape == (h, w, 3)
+    assert frames[0].depth.shape == (h, w)
+    assert np.isfinite(frames[0].depth).all()
+
+
 def test_ply_reader_roundtrip(tmp_path):
     pts = np.random.RandomState(0).randn(10, 3)
     ascii_ply = tmp_path / "a.ply"
