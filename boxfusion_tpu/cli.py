@@ -41,8 +41,7 @@ def build_argparser() -> argparse.ArgumentParser:
         default="host",
         choices=["host", "device"],
         help="'device' keeps all association/fusion state on the TPU "
-        "(fast path, no open-vocab labeling yet); 'host' mirrors the "
-        "reference's host-side bookkeeping",
+        "(fast path); 'host' mirrors the reference's host-side bookkeeping",
     )
     p.add_argument("--verbose", action="store_true")
     return p

@@ -111,6 +111,40 @@ def test_scannet_reader(tmp_path):
     assert np.isfinite(frames[0].depth).all()
 
 
+def test_prep_cli(tmp_path, capsys):
+    """The data-prep subcommand tool (reference's standalone scripts) runs
+    convert/classify/rotate/filter-gt end-to-end on a synthetic capture."""
+    from boxfusion_tpu.data_process.__main__ import main
+
+    cap = _write_capture(tmp_path)
+    out = tmp_path / "slam" / "42898867"
+    assert main(["convert", str(cap), str(out)]) == 0
+    assert (out / "all_poses.npy").exists()
+
+    assert main(["classify", str(out)]) == 0
+    assert "horizontal" in capsys.readouterr().out
+
+    assert main(["rotate", str(out)]) == 0
+    assert "rotated" in capsys.readouterr().out
+
+    # put one GT box in front of the camera so frustum culling keeps it
+    corners = np.array(
+        [
+            [
+                [x, y, z]
+                for x in (-0.1, 0.1)
+                for y in (-0.1, 0.1)
+                for z in (0.9, 1.1)
+            ]
+        ],
+        np.float32,
+    )
+    np.save(out / "gt_boxes.npy", corners)
+    assert main(["filter-gt", str(out)]) == 0
+    assert "1/1" in capsys.readouterr().out
+    assert (out / "after_filter_boxes.npy").exists()
+
+
 def test_ply_reader_roundtrip(tmp_path):
     pts = np.random.RandomState(0).randn(10, 3)
     ascii_ply = tmp_path / "a.ply"
