@@ -18,7 +18,12 @@ import numpy as np
 from boxfusion_tpu.fusion import load_pst
 from boxfusion_tpu.fusion.optimizer import PSTOptConfig
 from boxfusion_tpu.runtime.device_state import DeviceState, export_world, init_state
-from boxfusion_tpu.runtime.device_step import StepConfig, keyframe_step
+from boxfusion_tpu.runtime.device_step import (
+    DET_PACK_WIDTH,
+    META_WIDTH,
+    StepConfig,
+    keyframe_step_packed,
+)
 
 
 def step_config_from(cfg) -> StepConfig:
@@ -60,6 +65,8 @@ class DevicePipeline:
 
     def __init__(self, cfg, detector: Callable, labeler: Optional[Callable] = None,
                  capacity: int = 512):
+        from concurrent.futures import ThreadPoolExecutor
+
         from boxfusion_tpu.utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
@@ -78,6 +85,25 @@ class DevicePipeline:
             load_pst(bf["pst_path"] if "pst_path" in bf else None, int(bf["pst_size"]))
         )
         self.count = 0
+        # Host->device uploads block the calling thread on the tunneled
+        # single-chip setup (~4 ms per device_put), so uploads + step dispatch
+        # run on a single worker thread: keyframe N's transfer overlaps
+        # keyframe N-1's device compute.  `self.state` is written only by the
+        # worker; readers must call flush() first.
+        self._executor = ThreadPoolExecutor(max_workers=1)
+        self._last = None
+
+    def _device_step(self, buf: np.ndarray) -> None:
+        self.state = keyframe_step_packed(
+            self.state, jax.device_put(buf), self.pst, self.step_cfg
+        )
+
+    def flush(self) -> None:
+        """Wait for all enqueued keyframe steps to be dispatched (re-raising
+        any worker-thread error); device work may still be in flight."""
+        if self._last is not None:
+            self._last.result()
+            self._last = None
 
     def process_keyframe(self, frame) -> None:
         det = self.detector(frame)
@@ -111,40 +137,39 @@ class DevicePipeline:
             background = np.asarray([c == "" for c in categories])
             det["scores"] = np.where(background, -1e9, det["scores"]).astype(np.float32)
             det["category"] = cat_idx
-        # pad to the static detection capacity (padded rows score -1e9 and
-        # are dropped by the score filter on device)
+        # pack into the 2-array transfer format (device_step.py: the tunneled
+        # chip pays per-device_put latency, so ship exactly two host arrays).
+        # Padded rows score -1e9 and are dropped by the score filter on
+        # device; their dims are 1.0 so downstream geometry stays benign.
         kmax = int(self.cfg["detection"]["max_detections"])
-        n = det["scores"].shape[0]
-        if n != kmax:
-            pad = max(kmax - n, 0)
+        n = min(int(det["scores"].shape[0]), kmax)
+        buf = np.zeros(kmax * DET_PACK_WIDTH + META_WIDTH, np.float32)
+        packed = buf[: kmax * DET_PACK_WIDTH].reshape(kmax, DET_PACK_WIDTH)
+        meta = buf[kmax * DET_PACK_WIDTH :]
+        packed[:, 0] = -1e9
+        packed[:, 8:11] = 1.0
+        packed[:n, 0] = det["scores"][:n]
+        packed[:n, 1:5] = det["pred_boxes"][:n]
+        packed[:n, 5:11] = det["boxes3d"][:n]
+        packed[:n, 11:20] = det["R"][:n].reshape(n, 9)
+        if "proj_xy" in det:
+            packed[:n, 20:22] = det["proj_xy"][:n]
+        if "category" in det:
+            packed[:n, 22] = det["category"][:n]
 
-            def padded(v):
-                v = np.asarray(v)[: kmax]
-                fill = np.zeros((pad,) + v.shape[1:], v.dtype)
-                return np.concatenate([v, fill], 0)
-
-            det = {k: padded(v) for k, v in det.items()}
-            det["scores"][n:] = -1e9
-            if "boxes3d" in det:
-                det["boxes3d"][n:, 3:] = 1.0  # benign dims for padded rows
-        det = {k: jnp.asarray(v) for k, v in det.items()}
         h, w = frame.image.shape[:2]
-        self.state = keyframe_step(
-            self.state,
-            det,
-            self.pst,
-            jnp.asarray(frame.gt_pose, jnp.float32),
-            jnp.asarray(frame.K, jnp.float32),
-            jnp.asarray(frame.K_depth, jnp.float32),
-            jnp.asarray([float(h), float(w)], jnp.float32),
-            jnp.int32(self.count),
-            self.step_cfg,
-        )
+        meta[:16] = np.asarray(frame.gt_pose, np.float32).ravel()
+        meta[16:25] = np.asarray(frame.K, np.float32).ravel()
+        meta[25:34] = np.asarray(frame.K_depth, np.float32).ravel()
+        meta[34:36] = (float(h), float(w))
+        meta[36] = float(self.count)
+        self._last = self._executor.submit(self._device_step, buf)
 
     def save_state(self, path: str) -> None:
         """Snapshot the full device state mid-sequence (resume later)."""
         import jax as _jax
 
+        self.flush()
         _jax.block_until_ready(self.state.n)
         from boxfusion_tpu.utils.checkpoint import save_pipeline_state
 
@@ -163,6 +188,7 @@ class DevicePipeline:
             if self.count % gap == 0:
                 self.process_keyframe(frame)
             self.count += 1
+        self.flush()
         jax.block_until_ready(self.state.n)
         duration = time.time() - start
         self.fps = self.count / max(duration, 1e-9)

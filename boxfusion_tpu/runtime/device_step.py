@@ -571,8 +571,7 @@ def _append_detections(state: DeviceState, det, mask, pose, K_depth, image_hw, f
 # the keyframe step
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg",))
-def keyframe_step(
+def _keyframe_step_impl(
     state: DeviceState,
     det: dict,
     pst: jnp.ndarray,
@@ -581,7 +580,7 @@ def keyframe_step(
     K_depth: jnp.ndarray,
     image_hw: jnp.ndarray,
     frame_idx: jnp.ndarray,
-    cfg: StepConfig = StepConfig(),
+    cfg: StepConfig,
 ) -> DeviceState:
     """One keyframe: filters -> append -> NMS -> correspondence -> fusion.
 
@@ -645,3 +644,69 @@ def keyframe_step(
         return jax.lax.cond(first_frame, lambda s: s, assoc, state)
 
     return jax.lax.cond(k_new > 0, with_news, no_news, state)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def keyframe_step(
+    state: DeviceState,
+    det: dict,
+    pst: jnp.ndarray,
+    pose: jnp.ndarray,
+    K_img: jnp.ndarray,
+    K_depth: jnp.ndarray,
+    image_hw: jnp.ndarray,
+    frame_idx: jnp.ndarray,
+    cfg: StepConfig = StepConfig(),
+) -> DeviceState:
+    """Unpacked-argument entry point (see ``_keyframe_step_impl``)."""
+    return _keyframe_step_impl(
+        state, det, pst, pose, K_img, K_depth, image_hw, frame_idx, cfg
+    )
+
+
+# Packed host->device transfer boundary.  The tunneled single-chip setup pays
+# ~0.5-0.7 ms per device_put; uploading the detection dict + frame metadata
+# as ~10 separate small arrays costs more host time per keyframe than the
+# whole device step.  The pipeline therefore ships exactly TWO arrays per
+# keyframe: (K, 23) packed detections and a (37,) metadata vector.
+DET_PACK_WIDTH = 23  # scores 1 | pred_boxes 4 | boxes3d 6 | R 9 | proj_xy 2 | category 1
+META_WIDTH = 37  # pose 16 | K_img 9 | K_depth 9 | image_hw 2 | frame_idx 1
+
+
+def _unpack_detections(packed: jnp.ndarray) -> dict:
+    return dict(
+        scores=packed[:, 0],
+        pred_boxes=packed[:, 1:5],
+        boxes3d=packed[:, 5:11],
+        R=packed[:, 11:20].reshape(-1, 3, 3),
+        proj_xy=packed[:, 20:22],
+        category=packed[:, 22].astype(jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def keyframe_step_packed(
+    state: DeviceState,
+    buf: jnp.ndarray,
+    pst: jnp.ndarray,
+    cfg: StepConfig = StepConfig(),
+) -> DeviceState:
+    """``keyframe_step`` with a ONE-array transfer boundary (production path).
+
+    ``buf`` is (K * DET_PACK_WIDTH + META_WIDTH,) float32: the packed
+    detections followed by the metadata vector.  A single host array per
+    keyframe means a single transfer RPC on tunneled single-chip setups,
+    where every transfer/launch rides one serialized channel.
+    """
+    kmax = (buf.shape[0] - META_WIDTH) // DET_PACK_WIDTH
+    det_packed = buf[: kmax * DET_PACK_WIDTH].reshape(kmax, DET_PACK_WIDTH)
+    meta = buf[kmax * DET_PACK_WIDTH :]
+    det = _unpack_detections(det_packed)
+    pose = meta[:16].reshape(4, 4)
+    K_img = meta[16:25].reshape(3, 3)
+    K_depth = meta[25:34].reshape(3, 3)
+    image_hw = meta[34:36]
+    frame_idx = meta[36].astype(jnp.int32)
+    return _keyframe_step_impl(
+        state, det, pst, pose, K_img, K_depth, image_hw, frame_idx, cfg
+    )
