@@ -139,8 +139,12 @@ def optimize_boxes(
 
         def body(state):
             xyzlhw, ss, prev_ss, prev_success, fail, need_update, done, it = state
+            # mask all views of converged objects: the batched while_loop
+            # keeps iterating until every object is done, but masked cells
+            # are skipped inside the Pallas kernel, so finished objects stop
+            # paying for fitness evaluation (their state is frozen anyway).
             fitness = multiview_fitness(
-                xyzlhw, R, pst, ss, poses, corners, vmask, K, H, W,
+                xyzlhw, R, pst, ss, poses, corners, (vmask > 0) & ~done, K, H, W,
                 impl=cfg.fitness_impl,
             )
             success, mean_iou, mean_transform = _cal_transform(
