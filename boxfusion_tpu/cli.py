@@ -84,7 +84,13 @@ def main(argv=None) -> int:
             "scannet" if args.dataset_path.lower() == "scannet" else "CA1M"
         )
         dataset = get_dataset(cfg)
-        detector = _build_cutr_detector(args)
+        # device engine without open-vocab labeling keeps detections on the
+        # TPU end to end (runtime/device_pipeline.py fast path)
+        device_output = args.engine == "device" and not (
+            args.clip_path
+            or (os.path.exists(args.class_features) and os.path.exists(args.class_txt))
+        )
+        detector = _build_cutr_detector(args, device_output=device_output)
 
     if args.every_nth_frame:
         import itertools
@@ -146,7 +152,7 @@ def _load_class_list(path: str):
     return ["object"]
 
 
-def _build_cutr_detector(args):
+def _build_cutr_detector(args, device_output: bool = False):
     import jax
 
     from boxfusion_tpu.models.cutr import FrameBatch, make_cutr
@@ -171,7 +177,7 @@ def _build_cutr_detector(args):
             T_gravity=jnp.eye(3)[None],
         )
         params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
-    return CuTRDetector(model, params)
+    return CuTRDetector(model, params, device_output=device_output)
 
 
 if __name__ == "__main__":

@@ -26,28 +26,36 @@ class CuTRDetector:
     CubifyTransformer.inference (reference cubify_transformer.py:961-977).
     """
 
-    def __init__(self, model: CubifyTransformer, params, donate: bool = False):
+    def __init__(
+        self,
+        model: CubifyTransformer,
+        params,
+        donate: bool = False,
+        device_output: bool = False,
+    ):
         self.model = model
         self.params = params
         self.preprocessor = Preprocessor()
         self._apply = jax.jit(model.apply)
+        # device_output: return jax arrays without any D2H sync, enabling the
+        # DevicePipeline's fully device-resident detect->associate->fuse path.
+        self.device_output = device_output
 
     def __call__(self, frame: Frame) -> Dict[str, np.ndarray]:
         batch, _, _ = self.preprocessor(
             frame.image, frame.depth, frame.K, frame.T_gravity
         )
         out = self._apply(self.params, batch)
-        return {
-            k: np.asarray(v[0])
-            for k, v in out.items()
-            if k in (
-                "scores",
-                "pred_classes",
-                "pred_boxes",
-                "pred_logits",
-                "boxes3d",
-                "R",
-                "proj_xy",
-                "object_desc",
-            )
-        }
+        take = (
+            "scores",
+            "pred_classes",
+            "pred_boxes",
+            "pred_logits",
+            "boxes3d",
+            "R",
+            "proj_xy",
+            "object_desc",
+        )
+        if self.device_output:
+            return {k: v[0] for k, v in out.items() if k in take}
+        return {k: np.asarray(v[0]) for k, v in out.items() if k in take}

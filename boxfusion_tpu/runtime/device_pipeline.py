@@ -22,6 +22,7 @@ from boxfusion_tpu.runtime.device_step import (
     DET_PACK_WIDTH,
     META_WIDTH,
     StepConfig,
+    keyframe_step_devdet,
     keyframe_step_packed,
 )
 
@@ -98,6 +99,11 @@ class DevicePipeline:
             self.state, jax.device_put(buf), self.pst, self.step_cfg
         )
 
+    def _device_step_dev(self, det: dict, meta: np.ndarray, kmax: int) -> None:
+        self.state = keyframe_step_devdet(
+            self.state, det, jax.device_put(meta), self.pst, self.step_cfg, kmax
+        )
+
     def flush(self) -> None:
         """Wait for all enqueued keyframe steps to be dispatched (re-raising
         any worker-thread error); device work may still be in flight."""
@@ -108,10 +114,31 @@ class DevicePipeline:
     def process_keyframe(self, frame) -> None:
         det = self.detector(frame)
         det = {
-            k: np.asarray(v)
+            k: v
             for k, v in det.items()
             if k in ("scores", "pred_boxes", "boxes3d", "R", "proj_xy", "category")
         }
+
+        # device-resident fast path: detector outputs that are already jax
+        # arrays feed the step directly -- no D2H sync, no host packing; only
+        # the (37,) metadata vector crosses the host boundary.
+        if self.labeler is None and all(
+            isinstance(v, jax.Array) for v in det.values()
+        ):
+            h, w = frame.image.shape[:2]
+            meta = np.empty(META_WIDTH, np.float32)
+            meta[:16] = np.asarray(frame.gt_pose, np.float32).ravel()
+            meta[16:25] = np.asarray(frame.K, np.float32).ravel()
+            meta[25:34] = np.asarray(frame.K_depth, np.float32).ravel()
+            meta[34:36] = (float(h), float(w))
+            meta[36] = float(self.count)
+            kmax = int(self.cfg["detection"]["max_detections"])
+            self._last = self._executor.submit(
+                self._device_step_dev, det, meta, kmax
+            )
+            return
+
+        det = {k: np.asarray(v) for k, v in det.items()}
 
         # open-vocab labeling + CLIP score boost (demo.py:161-171): label
         # crops, boost scores, drop background; category ids ride into the

@@ -684,6 +684,54 @@ def _unpack_detections(packed: jnp.ndarray) -> dict:
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "kmax"), donate_argnums=(0,))
+def keyframe_step_devdet(
+    state: DeviceState,
+    det: dict,
+    meta: jnp.ndarray,
+    pst: jnp.ndarray,
+    cfg: StepConfig = StepConfig(),
+    kmax: int = 100,
+) -> DeviceState:
+    """``keyframe_step`` taking DEVICE-resident detector outputs directly.
+
+    The fast path for the real CuTR pipeline: the detector's top-k arrays
+    never leave the device (no D2H sync, no host packing); only the (37,)
+    metadata vector is uploaded per keyframe.  Padding/truncation to ``kmax``
+    happens at trace time (detector top-k is static).
+    """
+    n = min(int(det["scores"].shape[0]), kmax)
+
+    def pad(x, fill=0.0):
+        x = x[:kmax]
+        if x.shape[0] < kmax:
+            pads = [(0, kmax - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+            x = jnp.pad(x, pads, constant_values=fill)
+        return x
+
+    scores = pad(det["scores"], -1e9)
+    boxes3d = pad(det["boxes3d"])
+    if n < kmax:
+        boxes3d = boxes3d.at[n:, 3:].set(1.0)  # benign dims for padded rows
+    K = det["scores"].shape[0]
+    det = dict(
+        scores=scores,
+        pred_boxes=pad(det["pred_boxes"]),
+        boxes3d=boxes3d,
+        R=pad(det["R"]),
+        proj_xy=pad(det.get("proj_xy", jnp.zeros((K, 2)))),
+        category=pad(det.get("category", jnp.zeros(K, jnp.int32))).astype(jnp.int32),
+    )
+    pose = meta[:16].reshape(4, 4)
+    K_img = meta[16:25].reshape(3, 3)
+    K_depth = meta[25:34].reshape(3, 3)
+    image_hw = meta[34:36]
+    frame_idx = meta[36].astype(jnp.int32)
+    return _keyframe_step_impl(
+        state, det, pst, pose, K_img, K_depth, image_hw, frame_idx, cfg
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def keyframe_step_packed(
     state: DeviceState,

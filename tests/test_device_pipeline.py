@@ -114,3 +114,33 @@ def test_device_empty_keyframes():
     dev = DevicePipeline(cfg, EmptyDetector(), capacity=64)
     world = dev.run(seq, gap=5)
     assert len(world["scores"]) == 0
+
+
+def test_device_resident_detections_match_numpy_path():
+    """Detector outputs that are jax arrays take the no-D2H fast path
+    (keyframe_step_devdet) and must produce the same world as host packing."""
+    import jax.numpy as jnp
+
+    cfg = _cfg()
+    seq = SyntheticSequence(n_frames=30, n_boxes=5, seed=0)
+    oracle = OracleDetector(seq, noise=0.0)
+
+    class DeviceOracle:
+        def __call__(self, frame):
+            # more rows than max_detections to exercise trace-time truncation
+            det = {k: jnp.asarray(v) for k, v in oracle(frame).items()}
+            return det
+
+    ref = DevicePipeline(cfg, oracle, capacity=64)
+    ref_world = ref.run(seq, gap=5)
+    dev = DevicePipeline(cfg, DeviceOracle(), capacity=64)
+    dev_world = dev.run(seq, gap=5)
+
+    np.testing.assert_array_equal(
+        np.sort(dev_world["init_id"]), np.sort(ref_world["init_id"])
+    )
+    od = np.argsort(dev_world["init_id"])
+    oh = np.argsort(ref_world["init_id"])
+    np.testing.assert_allclose(
+        dev_world["xyzlhw"][od], ref_world["xyzlhw"][oh], atol=1e-5
+    )
