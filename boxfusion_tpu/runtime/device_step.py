@@ -497,10 +497,18 @@ def _filter_mask(det, image_hw, cfg: StepConfig):
 
 def _append_detections(state: DeviceState, det, mask, pose, K_depth, image_hw, frame_idx):
     """Pack the surviving detections, lift to world, append to the
-    observation store + world set (demo.py:216-254)."""
+    observation store + world set (demo.py:216-254).
+
+    Appends are clamped to the remaining world/observation capacity and
+    written with out-of-bounds-dropping scatters: a full buffer drops the
+    lowest-priority new detections instead of silently overwriting live rows
+    (dynamic_update_slice would clamp the start index when n > capacity-K)."""
     K = mask.shape[0]
     order = jnp.argsort(~mask, stable=True)
     k = jnp.sum(mask).astype(jnp.int32)
+    k = jnp.minimum(k, state.capacity - state.n)
+    k = jnp.minimum(k, state.obs_pose.shape[0] - state.obs_n)
+    row = jnp.arange(K, dtype=jnp.int32)
 
     def pick(x):
         return x[order]
@@ -523,12 +531,31 @@ def _append_detections(state: DeviceState, det, mask, pose, K_depth, image_hw, f
         corners3d, poses_rep, K_depth, image_hw[0], image_hw[1]
     )
 
-    obs_ids = state.obs_n + jnp.arange(K, dtype=jnp.int32)
+    obs_ids = state.obs_n + row
+
+    def _append_block(buf, block, n_counter):
+        """dynamic_update_slice at ``n_counter`` that stays safe when the
+        buffer is nearly full: XLA clamps the start to cap-K, so the block is
+        pre-merged with the existing rows it would otherwise overwrite (a
+        contiguous slice + roll + where -- far cheaper than a scatter)."""
+        block = block.astype(buf.dtype)
+        rows = block.shape[0]
+        o = jnp.minimum(n_counter, buf.shape[0] - rows)
+        shift = n_counter - o  # > 0 only when nearly full
+
+        def merged_block(_):
+            existing = jax.lax.dynamic_slice_in_dim(buf, o, rows)
+            rolled = jnp.roll(block, shift, axis=0)
+            keep_old = (jnp.arange(rows) < shift).reshape(
+                (rows,) + (1,) * (block.ndim - 1)
+            )
+            return jnp.where(keep_old, existing, rolled)
+
+        out = jax.lax.cond(shift > 0, merged_block, lambda _: block, None)
+        return jax.lax.dynamic_update_slice_in_dim(buf, out, o, 0)
 
     def dus(buf, block):
-        return jax.lax.dynamic_update_slice(
-            buf, block.astype(buf.dtype), (state.obs_n,) + (0,) * (buf.ndim - 1)
-        )
+        return _append_block(buf, block, state.obs_n)
 
     state = dataclasses.replace(
         state,
@@ -541,9 +568,7 @@ def _append_detections(state: DeviceState, det, mask, pose, K_depth, image_hw, f
     )
 
     def wus(buf, block):
-        return jax.lax.dynamic_update_slice(
-            buf, block.astype(buf.dtype), (state.n,) + (0,) * (buf.ndim - 1)
-        )
+        return _append_block(buf, block, state.n)
 
     V = state.max_views
     new_flist = jnp.full((K, V), PAD_ID, jnp.int32).at[:, 0].set(obs_ids)

@@ -144,3 +144,60 @@ def test_device_resident_detections_match_numpy_path():
     np.testing.assert_allclose(
         dev_world["xyzlhw"][od], ref_world["xyzlhw"][oh], atol=1e-5
     )
+
+
+def test_world_capacity_overflow_drops_not_corrupts():
+    """When the world buffer fills, excess detections are dropped; existing
+    rows must stay intact (dynamic_update_slice would have clamped the write
+    offset and overwritten live rows)."""
+    import jax.numpy as jnp
+
+    from boxfusion_tpu.runtime.device_state import init_state
+    from boxfusion_tpu.runtime.device_step import (
+        StepConfig,
+        keyframe_step_devdet,
+        META_WIDTH,
+    )
+
+    cap, kmax = 8, 6
+    state = init_state(capacity=cap, max_views=5, obs_capacity=16)
+    cfg = StepConfig(
+        score_thresh=0.1, fusion_use=False, nms_threshold=0.1,
+        uv_bound=False, floor_mask=False,
+    )
+    pst = jnp.zeros((128, 6), jnp.float32)
+
+    meta = np.zeros(META_WIDTH, np.float32)
+    meta[:16] = np.eye(4).ravel()
+    K = np.array([[100.0, 0, 64], [0, 100.0, 64], [0, 0, 1]], np.float32)
+    meta[16:25] = K.ravel()
+    meta[25:34] = K.ravel()
+    meta[34:36] = (128.0, 128.0)
+
+    def det_at(xoff):
+        # 6 well-separated boxes in front of the camera (no NMS suppression)
+        centers = np.stack(
+            [np.linspace(-5, 5, 6) + xoff, np.zeros(6), np.full(6, 3.0)], 1
+        )
+        return dict(
+            scores=jnp.asarray(np.linspace(0.9, 0.5, 6), jnp.float32),
+            pred_boxes=jnp.asarray(np.tile([10, 10, 30, 30.0], (6, 1)), jnp.float32),
+            boxes3d=jnp.asarray(
+                np.concatenate([centers, np.full((6, 3), 0.4)], 1), jnp.float32
+            ),
+            R=jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (6, 1, 1))),
+            proj_xy=jnp.zeros((6, 2), jnp.float32),
+            category=jnp.zeros(6, jnp.int32),
+        )
+
+    meta0 = meta.copy()
+    state = keyframe_step_devdet(state, det_at(0.0), jnp.asarray(meta0), pst, cfg, kmax)
+    first = np.asarray(state.xyzlhw[: int(state.n)]).copy()
+    assert int(state.n) == 6
+
+    # far-away second keyframe: 6 more boxes, but only 2 slots remain
+    meta1 = meta.copy()
+    meta1[36] = 1.0
+    state = keyframe_step_devdet(state, det_at(100.0), jnp.asarray(meta1), pst, cfg, kmax)
+    assert int(state.n) == cap  # clamped, not wrapped
+    np.testing.assert_allclose(np.asarray(state.xyzlhw[:6]), first, atol=1e-5)
