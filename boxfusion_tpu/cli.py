@@ -123,10 +123,20 @@ def main(argv=None) -> int:
         return 0
 
     pipe = OnlinePipeline(cfg, detector, labeler=labeler)
+    on_frame = on_keyframe = None
     if cfg["vis"]["rerun"]:
         viz.init_recording(getattr(dataset, "video_id", "boxfusion"))
+        # live logging like the reference: every frame's camera/image/depth
+        # (demo.py:174-197) + the fused world after each keyframe (demo.py:330)
+        on_frame = lambda frame: viz.log_frame(frame, frame.gt_pose)  # noqa: E731
+        on_keyframe = lambda world: viz.visualize_online_boxes(  # noqa: E731
+            world,
+            show_class=bool(cfg["vis"]["show_class"]),
+            show_label=bool(cfg["vis"]["show_label"]),
+        )
 
-    world = pipe.run(dataset, verbose=args.verbose)
+    world = pipe.run(dataset, verbose=args.verbose, on_frame=on_frame,
+                     on_keyframe=on_keyframe)
 
     if cfg["vis"]["rerun"]:
         viz.visualize_online_boxes(

@@ -412,8 +412,22 @@ class OnlinePipeline:
                 self.world.iou[i, i] = 0.0
 
     # -- driver ---------------------------------------------------------------
-    def run(self, dataset, gap: Optional[int] = None, verbose: bool = False):
+    def run(
+        self,
+        dataset,
+        gap: Optional[int] = None,
+        verbose: bool = False,
+        on_frame=None,
+        on_keyframe=None,
+    ):
         """Run the full online loop over a dataset of Frames.
+
+        Args:
+          on_frame: optional ``(frame) -> None`` hook, called for every frame
+            (the reference's per-frame rerun logging, demo.py:174-197).
+          on_keyframe: optional ``(world) -> None`` hook, called after each
+            keyframe update (the reference's per-keyframe
+            ``visualize_online_boxes``, demo.py:330).
 
         Returns the final WorldState; prints the end-to-end FPS like the
         reference (demo.py:363-366).
@@ -421,8 +435,12 @@ class OnlinePipeline:
         gap = int(self.cfg["data"]["gap"]) if gap is None else gap
         start = time.time()
         for frame in dataset:
+            if on_frame is not None:
+                on_frame(frame)
             if self.count % gap == 0:
                 self.process_keyframe(frame)
+                if on_keyframe is not None:
+                    on_keyframe(self.world)
                 if verbose:
                     print(
                         f"frame {self.count}: {len(self.world)} world boxes, "

@@ -87,3 +87,20 @@ def test_pipeline_save_outputs(cfg, tmp_path):
     assert len(data) == 1 and len(data[0]) == len(world)
     cls, corners, feat = data[0][0]
     assert corners.shape == (8, 3)
+
+
+def test_pipeline_frame_and_keyframe_hooks(cfg):
+    """run() fires on_frame per frame and on_keyframe per keyframe (the
+    reference's live rerun logging cadence, demo.py:174-197,330)."""
+    seq = SyntheticSequence(n_frames=15, n_boxes=3, seed=4)
+    pipe = OnlinePipeline(cfg, OracleDetector(seq))
+    frames, keyframes = [], []
+    pipe.run(
+        seq,
+        gap=5,
+        on_frame=lambda f: frames.append(f),
+        on_keyframe=lambda w: keyframes.append(len(w)),
+    )
+    assert len(frames) == 15
+    assert len(keyframes) == 3
+    assert keyframes[-1] == 3
