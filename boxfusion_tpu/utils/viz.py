@@ -38,10 +38,19 @@ def init_recording(video_id: str):
     return rec
 
 
+_trajectory: list = []
+
+
 def log_frame(frame, pose: np.ndarray) -> None:
-    """Log camera pose + image + depth (demo.py:174-190)."""
+    """Log camera pose + image + depth + trajectory (demo.py:174-197)."""
     if not HAS_RERUN:
         return
+    _trajectory.append(np.asarray(pose[:3, 3], np.float32).copy())
+    if len(_trajectory) > 1:
+        rerun.log(
+            "/device/trajectory",
+            rerun.LineStrips3D([np.stack(_trajectory)], colors=[[0, 200, 255]]),
+        )
     from scipy.spatial.transform import Rotation
 
     tf = rerun.Transform3D(
