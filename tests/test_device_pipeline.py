@@ -127,8 +127,17 @@ def test_device_resident_detections_match_numpy_path():
 
     class DeviceOracle:
         def __call__(self, frame):
-            # more rows than max_detections to exercise trace-time truncation
             det = {k: jnp.asarray(v) for k, v in oracle(frame).items()}
+            # append junk rows beyond max_detections (=16) to exercise the
+            # fast path's trace-time truncation: extras must be dropped
+            pad = 20 - det["scores"].shape[0]
+            det = {
+                k: jnp.concatenate(
+                    [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)], 0
+                )
+                for k, v in det.items()
+            }
+            det["scores"] = det["scores"].at[-pad:].set(-1e9)
             return det
 
     ref = DevicePipeline(cfg, oracle, capacity=64)
