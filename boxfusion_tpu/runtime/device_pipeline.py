@@ -45,6 +45,8 @@ def step_config_from(cfg) -> StepConfig:
         translation_gap=float(cfg["association"]["translation_gap"]),
         fusion_use=bool(bf["use"]),
         max_fusions=int(bf["max_fusions_per_frame"]),
+        check_valid=bool(bf["check_valid"]),
+        gap=int(cfg["data"]["gap"]),
         opt=PSTOptConfig(
             iters=int(bf["iters"]),
             center_init_size=float(ro["center_init_size"]),

@@ -74,6 +74,8 @@ class StepConfig:
     max_fusions: int = 16
     max_gated_pairs: int = 1024
     grid_samples: int = 25
+    check_valid: bool = False  # drop never-re-observed boxes (box_manager.py:151-166)
+    gap: int = 20
     opt: PSTOptConfig = PSTOptConfig()
 
 
@@ -658,6 +660,17 @@ def _keyframe_step_impl(
                 any_new_kept, corr, lambda a: a, (state, keep)
             )
             state = _compact(state, keep)
+
+            if cfg.check_valid:
+                # drop boxes never re-observed within one keyframe gap
+                # (box_manager.py:151-166; gated by box_fusion.check_valid)
+                alive = jnp.arange(G) < state.n
+                stale = (
+                    alive
+                    & (state.valid_num == 0)
+                    & (state.frame_id < frame_idx - cfg.gap)
+                )
+                state = _compact(state, alive & ~stale)
 
             if cfg.fusion_use:
                 def fuse(state):

@@ -210,3 +210,61 @@ def test_world_capacity_overflow_drops_not_corrupts():
     state = keyframe_step_devdet(state, det_at(100.0), jnp.asarray(meta1), pst, cfg, kmax)
     assert int(state.n) == cap  # clamped, not wrapped
     np.testing.assert_allclose(np.asarray(state.xyzlhw[:6]), first, atol=1e-5)
+
+
+def test_device_check_valid_drops_unreobserved():
+    """box_fusion.check_valid on the device engine: a box never re-observed
+    within one keyframe gap is dropped (box_manager.py:151-166)."""
+    import jax.numpy as jnp
+
+    from boxfusion_tpu.runtime.device_state import init_state
+    from boxfusion_tpu.runtime.device_step import (
+        META_WIDTH,
+        StepConfig,
+        keyframe_step_devdet,
+    )
+
+    gap = 5
+    cfg = StepConfig(
+        score_thresh=0.1, fusion_use=False, uv_bound=False, floor_mask=False,
+        check_valid=True, gap=gap,
+    )
+    state = init_state(capacity=16, max_views=5, obs_capacity=64)
+    pst = jnp.zeros((128, 6), jnp.float32)
+    K = np.array([[100.0, 0, 64], [0, 100.0, 64], [0, 0, 1]], np.float32)
+
+    def meta_at(frame_idx):
+        m = np.zeros(META_WIDTH, np.float32)
+        m[:16] = np.eye(4).ravel()
+        m[16:25] = K.ravel()
+        m[25:34] = K.ravel()
+        m[34:36] = (128.0, 128.0)
+        m[36] = frame_idx
+        return jnp.asarray(m)
+
+    def det(centers):
+        n = len(centers)
+        return dict(
+            scores=jnp.full((n,), 0.8, jnp.float32),
+            pred_boxes=jnp.asarray(np.tile([10, 10, 30, 30.0], (n, 1)), jnp.float32),
+            boxes3d=jnp.asarray(
+                np.concatenate([np.asarray(centers, np.float32),
+                                np.full((n, 3), 0.4, np.float32)], 1)
+            ),
+            R=jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (n, 1, 1))),
+            proj_xy=jnp.zeros((n, 2), jnp.float32),
+            category=jnp.zeros(n, jnp.int32),
+        )
+
+    A, B = [0.0, 0.0, 3.0], [4.0, 0.0, 3.0]
+    # keyframe 0: A and B
+    state = keyframe_step_devdet(state, det([A, B]), meta_at(0), pst, cfg, 4)
+    assert int(state.n) == 2
+    # keyframe 1 (frame gap): A re-observed -> suppressed into A, valid_num+1
+    state = keyframe_step_devdet(state, det([A]), meta_at(gap), pst, cfg, 4)
+    assert int(state.n) == 2
+    # keyframe 2 (frame 2*gap): B (frame_id 0, never re-observed) is dropped
+    state = keyframe_step_devdet(state, det([A]), meta_at(2 * gap), pst, cfg, 4)
+    centers = np.asarray(state.xyzlhw[: int(state.n), :3])
+    assert int(state.n) == 1, centers
+    np.testing.assert_allclose(centers[0], A, atol=1e-4)
