@@ -35,7 +35,7 @@ def main() -> None:
     on_tpu = jax.default_backend() not in ("cpu",)
     dim = 768 if on_tpu else 192
     S, r = (512, 1) if on_tpu else (256, 4)
-    n_frames, gap = (200, 20) if on_tpu else (40, 20)
+    n_frames, gap = (400, 20) if on_tpu else (40, 20)
 
     # --- CuTR forward per keyframe (timed inside the loop) -----------------
     model = make_cutr(dimension=dim, depth_model=True)
