@@ -38,7 +38,12 @@ def main() -> None:
     n_frames, gap = (400, 20) if on_tpu else (40, 20)
 
     # --- CuTR forward per keyframe (timed inside the loop) -----------------
-    model = make_cutr(dimension=dim, depth_model=True)
+    # bf16 compute on TPU (MXU-native, coordinate math stays f32 -- the
+    # production config default); f32 on the CPU fallback.
+    model = make_cutr(
+        dimension=dim, depth_model=True,
+        dtype="bfloat16" if on_tpu else "float32",
+    )
     rng = np.random.RandomState(0)
     f = 0.6 * S
     batch = FrameBatch(
@@ -102,7 +107,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"online e2e FPS (CuTR-{dim} @ {S}px, gap {gap}, device-resident assoc+fusion)",
+                "metric": f"online e2e FPS (CuTR-{dim} bf16 @ {S}px, gap {gap}, device-resident assoc+fusion)",
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 10.0, 3),

@@ -84,13 +84,18 @@ def main(argv=None) -> int:
             "scannet" if args.dataset_path.lower() == "scannet" else "CA1M"
         )
         dataset = get_dataset(cfg)
-        # device engine without open-vocab labeling keeps detections on the
-        # TPU end to end (runtime/device_pipeline.py fast path)
-        device_output = args.engine == "device" and not (
+        # device engine keeps detections on the TPU end to end; with
+        # open-vocab labeling it also exports the device image so CLIP
+        # crops/similarity stay on device (runtime/device_pipeline.py)
+        wants_label = bool(
             args.clip_path
             or (os.path.exists(args.class_features) and os.path.exists(args.class_txt))
         )
-        detector = _build_cutr_detector(args, device_output=device_output)
+        device_output = args.engine == "device"
+        detector = _build_cutr_detector(
+            args, cfg, device_output=device_output,
+            export_image=device_output and wants_label,
+        )
 
     if args.every_nth_frame:
         import itertools
@@ -162,22 +167,23 @@ def _load_class_list(path: str):
     return ["object"]
 
 
-def _build_cutr_detector(args, device_output: bool = False):
+def _build_cutr_detector(args, cfg, device_output: bool = False, export_image: bool = False):
     import jax
 
     from boxfusion_tpu.models.cutr import FrameBatch, make_cutr
     from boxfusion_tpu.runtime import CuTRDetector
 
+    dtype = str(cfg["detection"]["compute_dtype"])
     if args.model_path and os.path.exists(args.model_path):
         from boxfusion_tpu.models.cutr.convert import load_checkpoint
 
         params, dimension = load_checkpoint(args.model_path)
-        model = make_cutr(dimension=dimension, depth_model=True)
+        model = make_cutr(dimension=dimension, depth_model=True, dtype=dtype)
     else:
         print("[cli] no checkpoint given: using random-initialized CuTR")
         import jax.numpy as jnp
 
-        model = make_cutr(dimension=args.dimension, depth_model=True)
+        model = make_cutr(dimension=args.dimension, depth_model=True, dtype=dtype)
         batch = FrameBatch(
             image=jnp.zeros((1, 256, 256, 3)),
             depth=jnp.zeros((1, 256, 256, 1)),
@@ -187,7 +193,9 @@ def _build_cutr_detector(args, device_output: bool = False):
             T_gravity=jnp.eye(3)[None],
         )
         params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
-    return CuTRDetector(model, params, device_output=device_output)
+    return CuTRDetector(
+        model, params, device_output=device_output, export_image=export_image
+    )
 
 
 if __name__ == "__main__":

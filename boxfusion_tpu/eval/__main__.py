@@ -58,7 +58,7 @@ def main(argv=None) -> int:
     det_args = SimpleNamespace(
         model_path=args.model_path, dimension=args.dimension
     )
-    detector = _build_cutr_detector(det_args, device_output=True)
+    detector = _build_cutr_detector(det_args, cfg, device_output=True)
 
     out = evaluate_sequences(
         cfg,

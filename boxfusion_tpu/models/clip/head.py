@@ -34,19 +34,20 @@ from boxfusion_tpu.models.clip.model import (
 CROP = 224
 
 
-def scale_boxes(boxes: np.ndarray, H: int, W: int, scale: float = 1.2) -> np.ndarray:
+def scale_boxes(boxes, H, W, scale: float = 1.2):
     """Scale xyxy boxes about their centers, clipped to the image
-    (tools/utils.py:355-381)."""
+    (tools/utils.py:355-381).  Works on numpy or jnp arrays."""
+    xp = jnp if isinstance(boxes, jax.Array) else np
     cx = (boxes[:, 0] + boxes[:, 2]) / 2
     cy = (boxes[:, 1] + boxes[:, 3]) / 2
     w = (boxes[:, 2] - boxes[:, 0]) * scale
     h = (boxes[:, 3] - boxes[:, 1]) * scale
-    return np.stack(
+    return xp.stack(
         [
-            np.clip(cx - w / 2, 0, W),
-            np.clip(cy - h / 2, 0, H),
-            np.clip(cx + w / 2, 0, W),
-            np.clip(cy + h / 2, 0, H),
+            xp.clip(cx - w / 2, 0, W),
+            xp.clip(cy - h / 2, 0, H),
+            xp.clip(cx + w / 2, 0, W),
+            xp.clip(cy + h / 2, 0, H),
         ],
         axis=1,
     )
@@ -110,6 +111,7 @@ class OpenVocabLabeler:
         self.tower = CLIPImageTower(self.cfg)
         self.params = image_params
         self._encode = jax.jit(self._encode_impl)
+        self._boost = jax.jit(self._boost_impl, static_argnames=("budget",))
 
     def _encode_impl(self, image, boxes):
         crops = batched_crop_resize(image, boxes)
@@ -118,6 +120,58 @@ class OpenVocabLabeler:
         feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
         sims = 100.0 * feats @ jnp.asarray(self.text_features).T
         return feats, sims
+
+    def _boost_impl(self, image, boxes, scores, hw, scale, coeff, budget: int):
+        """Device-resident label + score boost over the top-``budget`` rows.
+
+        ``boxes``/``scores`` are the detector's top-k outputs (sorted by
+        score descending, so a static prefix slice IS the top-``budget``).
+        Mirrors the host path (reference demo.py:161-171): CLIP-label each
+        crop, boost scores by ``coeff * max_sim / 100``, and sink
+        below-``sim_thres`` (background) rows to -1e9 so the device step's
+        score filter drops them.  Rows beyond the budget keep their score
+        and the background-free default category 0 -- with ``budget`` at or
+        above the post-score-filter box count (the realistic case) this is
+        exactly the reference behavior.
+
+        Returns (new_scores (N,), categories (N,) int32, feats (budget, D)).
+        """
+        n_classes = self.text_features.shape[0]
+        b = scale_boxes(boxes[:budget], hw[0], hw[1], scale)
+        crops = batched_crop_resize(image, b)
+        crops = (crops / 255.0 - jnp.asarray(CLIP_IMAGE_MEAN)) / jnp.asarray(CLIP_IMAGE_STD)
+        feats = self.tower.apply(self.params, crops)
+        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        sims = 100.0 * feats @ jnp.asarray(self.text_features).T  # (budget, C)
+
+        # background column at sim_thres (tools/utils.py:488-494)
+        scored = jnp.concatenate(
+            [sims, jnp.full((sims.shape[0], 1), self.sim_thres, sims.dtype)], axis=-1
+        )
+        best = jnp.argmax(scored, axis=-1).astype(jnp.int32)
+        max_values = jnp.max(scored, axis=-1)
+        background = best == n_classes
+
+        boosted = scores[:budget] + coeff * max_values / 100.0
+        boosted = jnp.where(background, -1e9, boosted)
+        new_scores = scores.at[:budget].set(boosted)
+        categories = jnp.zeros(scores.shape[0], jnp.int32).at[:budget].set(best)
+        return new_scores, categories, feats
+
+    def label_boost_device(
+        self, image, boxes_xyxy, scores, hw, scale: float, coeff: float,
+        budget: int = 32,
+    ):
+        """Fully device-resident labeling: no D2H sync, jax arrays in/out.
+
+        ``hw`` is the actual (H, W) of the unpadded image (the crops' clip
+        bound); ``scale`` the reference's x1.5 box scaling (demo.py:165)."""
+        budget = min(int(budget), int(boxes_xyxy.shape[0]))
+        return self._boost(
+            image, boxes_xyxy, scores,
+            jnp.asarray(hw, jnp.float32), jnp.float32(scale),
+            jnp.float32(coeff), budget,
+        )
 
     def init_random(self, seed: int = 0):
         """Random-init weights (full compute path without real CLIP weights)."""
@@ -172,6 +226,7 @@ def build_labeler(
         labeler.params, labeler.cfg = load_clip_image_params(clip_path)
         labeler.tower = CLIPImageTower(labeler.cfg)
         labeler._encode = jax.jit(labeler._encode_impl)
+        labeler._boost = jax.jit(labeler._boost_impl, static_argnames=("budget",))
     else:
         labeler.init_random()
     return labeler

@@ -19,7 +19,7 @@ random init still exercises the full compute path.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -47,6 +47,9 @@ class CLIPConfig:
     text_layers: int = 24
     text_heads: int = 16
     quick_gelu: bool = False
+    # compute dtype (params stay f32; softmax + norm stats stay f32; the
+    # returned embeddings are f32).  bfloat16 is MXU-native on TPU.
+    dtype: Any = jnp.float32
 
     @staticmethod
     def vit_l14() -> "CLIPConfig":
@@ -67,32 +70,36 @@ def _gelu(x, quick: bool):
 class ResidualBlock(nn.Module):
     heads: int
     quick_gelu: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
         d = x.shape[-1]
-        h = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
 
         w_in = self.param("attn_in_proj_weight", nn.initializers.xavier_uniform(), (3 * d, d))
         b_in = self.param("attn_in_proj_bias", nn.initializers.zeros, (3 * d,))
-        qkv = h @ w_in.T + b_in
+        qkv = h @ w_in.T.astype(self.dtype) + b_in.astype(self.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         B, N, _ = q.shape
         hd = d // self.heads
         q = q.reshape(B, N, self.heads, hd)
         k = k.reshape(B, N, self.heads, hd)
         v = v.reshape(B, N, self.heads, hd)
-        attn = jnp.einsum("bqhc,bkhc->bhqk", q * (hd ** -0.5), k)
+        attn = jnp.einsum(
+            "bqhc,bkhc->bhqk", q * (hd ** -0.5), k,
+            preferred_element_type=jnp.float32,
+        )
         if mask is not None:
             attn = attn + mask
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         o = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(B, N, d)
-        x = x + nn.Dense(d, name="attn_out_proj")(o)
+        x = x + nn.Dense(d, dtype=self.dtype, name="attn_out_proj")(o)
 
-        h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
-        h = nn.Dense(4 * d, name="mlp_fc")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
+        h = nn.Dense(4 * d, dtype=self.dtype, name="mlp_fc")(h)
         h = _gelu(h, self.quick_gelu)
-        x = x + nn.Dense(d, name="mlp_proj")(h)
+        x = x + nn.Dense(d, dtype=self.dtype, name="mlp_proj")(h)
         return x
 
 
@@ -113,26 +120,29 @@ class CLIPImageTower(nn.Module):
             strides=(c.patch, c.patch),
             padding="VALID",
             use_bias=False,
+            dtype=c.dtype,
             name="conv1",
-        )(images)
+        )(images.astype(c.dtype))
         B = x.shape[0]
         x = x.reshape(B, -1, c.width)
         cls = self.param("class_embedding", nn.initializers.normal(0.02), (c.width,))
+        cls = cls.astype(c.dtype)
         x = jnp.concatenate([jnp.broadcast_to(cls[None, None], (B, 1, c.width)), x], axis=1)
         pos = self.param(
             "positional_embedding",
             nn.initializers.normal(0.02),
             ((c.image_size // c.patch) ** 2 + 1, c.width),
         )
-        x = x + pos[None]
-        x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
+        x = x + pos[None].astype(c.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="ln_pre")(x)
         for i in range(c.layers):
-            x = ResidualBlock(c.heads, c.quick_gelu, name=f"resblocks_{i}")(x)
-        x = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x[:, 0])
+            x = ResidualBlock(c.heads, c.quick_gelu, dtype=c.dtype, name=f"resblocks_{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="ln_post")(x[:, 0])
         proj = self.param(
             "proj", nn.initializers.normal(c.width ** -0.5), (c.width, c.embed_dim)
         )
-        return x @ proj
+        # final projection + cosine-similarity math downstream stay f32
+        return x.astype(jnp.float32) @ proj
 
 
 class CLIPTextTower(nn.Module):
@@ -144,18 +154,18 @@ class CLIPTextTower(nn.Module):
     def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
         """tokens: (B, 77) int32.  Returns (B, embed_dim)."""
         c = self.cfg
-        emb = nn.Embed(c.vocab_size, c.text_width, name="token_embedding")(tokens)
+        emb = nn.Embed(c.vocab_size, c.text_width, dtype=c.dtype, name="token_embedding")(tokens)
         pos = self.param(
             "positional_embedding", nn.initializers.normal(0.01), (c.context_length, c.text_width)
         )
-        x = emb + pos[None]
+        x = emb + pos[None].astype(c.dtype)
         L = c.context_length
         causal = jnp.where(
             jnp.tril(jnp.ones((L, L), bool)), 0.0, -jnp.inf
         )[None, None]
         for i in range(c.text_layers):
-            x = ResidualBlock(c.text_heads, c.quick_gelu, name=f"resblocks_{i}")(x, mask=causal)
-        x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
+            x = ResidualBlock(c.text_heads, c.quick_gelu, dtype=c.dtype, name=f"resblocks_{i}")(x, mask=causal)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="ln_final")(x)
         eot = jnp.argmax(tokens, axis=-1)  # EOT token has the highest id
         pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
         proj = self.param(
@@ -163,4 +173,4 @@ class CLIPTextTower(nn.Module):
             nn.initializers.normal(c.text_width ** -0.5),
             (c.text_width, c.embed_dim),
         )
-        return pooled @ proj
+        return pooled.astype(jnp.float32) @ proj

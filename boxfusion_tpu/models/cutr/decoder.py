@@ -13,7 +13,7 @@ Capability targets (reference cubify_transformer.py):
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -27,6 +27,7 @@ class TorchMHA(nn.Module):
     """
 
     num_heads: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, q, k, v, mask: Optional[jnp.ndarray] = None):
@@ -36,24 +37,33 @@ class TorchMHA(nn.Module):
 
         in_proj_w = self.param("in_proj_weight", nn.initializers.xavier_uniform(), (3 * C, C))
         in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * C,))
-        out = nn.Dense(C, name="out_proj")
+        out = nn.Dense(C, dtype=self.dtype, name="out_proj")
 
+        in_proj_w = in_proj_w.astype(self.dtype)
+        in_proj_b = in_proj_b.astype(self.dtype)
+        q, k, v = (t.astype(self.dtype) for t in (q, k, v))
         wq, wk, wv = jnp.split(in_proj_w, 3, axis=0)
         bq, bk, bv = jnp.split(in_proj_b, 3, axis=0)
         qh = (q @ wq.T + bq).reshape(B, Nq, self.num_heads, hd)
         kh = (k @ wk.T + bk).reshape(B, Nk, self.num_heads, hd)
         vh = (v @ wv.T + bv).reshape(B, Nk, self.num_heads, hd)
 
-        attn = jnp.einsum("bqhc,bkhc->bhqk", qh, kh) * (hd ** -0.5)
+        attn = jnp.einsum(
+            "bqhc,bkhc->bhqk", qh, kh, preferred_element_type=jnp.float32
+        ) * (hd ** -0.5)
         if mask is not None:
             attn = jnp.where(mask[None, None], -jnp.inf, attn)
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn, axis=-1).astype(vh.dtype)
         o = jnp.einsum("bhqk,bkhc->bqhc", attn, vh).reshape(B, Nq, C)
         return out(o)
 
 
 class CpbMlp(nn.Module):
-    """Linear-ReLU-Linear(no bias) rpe MLP (cubify_transformer.py:126-130)."""
+    """Linear-ReLU-Linear(no bias) rpe MLP (cubify_transformer.py:126-130).
+
+    Kept float32 regardless of the model compute dtype: its inputs are raw
+    pixel deltas (magnitude up to the padded size) that bf16 would quantize
+    to multiples of 4px, and it is a negligible share of decoder FLOPs."""
 
     hidden_dim: int
     out_dim: int
@@ -69,6 +79,7 @@ class GlobalCrossAttention(nn.Module):
     num_heads: int = 8
     rpe_hidden_dim: int = 512
     feature_stride: int = 16
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -85,6 +96,7 @@ class GlobalCrossAttention(nn.Module):
         hd = C // self.num_heads
         stride = self.feature_stride
 
+        reference_2d = reference_2d.astype(jnp.float32)  # rpe deltas stay f32
         ref = jnp.concatenate(
             [
                 reference_2d[..., :2] - reference_2d[..., 2:] / 2,
@@ -93,8 +105,8 @@ class GlobalCrossAttention(nn.Module):
             axis=-1,
         )  # (B, Nb, 4) xyxy
 
-        pos_x = (jnp.linspace(0.5, w - 0.5, w) * stride).astype(query.dtype)
-        pos_y = (jnp.linspace(0.5, h - 0.5, h) * stride).astype(query.dtype)
+        pos_x = (jnp.linspace(0.5, w - 0.5, w) * stride).astype(jnp.float32)
+        pos_y = (jnp.linspace(0.5, h - 0.5, h) * stride).astype(jnp.float32)
 
         # (B, Nb, w, 2): distance from both x-edges to every column center.
         delta_x = ref[..., None, 0::2] - pos_x[None, None, :, None]
@@ -106,16 +118,19 @@ class GlobalCrossAttention(nn.Module):
         rpe = rpe_x[:, :, None] + rpe_y[:, :, :, None]
         rpe = rpe.reshape(B, ref.shape[1], h * w, self.num_heads).transpose(0, 3, 1, 2)
 
-        q = nn.Dense(C, name="q")(query).reshape(B, Nq, self.num_heads, hd)
-        k = nn.Dense(C, name="k")(k_input).reshape(B, -1, self.num_heads, hd)
-        v = nn.Dense(C, name="v")(v_input).reshape(B, -1, self.num_heads, hd)
+        q = nn.Dense(C, dtype=self.dtype, name="q")(query).reshape(B, Nq, self.num_heads, hd)
+        k = nn.Dense(C, dtype=self.dtype, name="k")(k_input).reshape(B, -1, self.num_heads, hd)
+        v = nn.Dense(C, dtype=self.dtype, name="v")(v_input).reshape(B, -1, self.num_heads, hd)
 
-        attn = jnp.einsum("bqhc,bkhc->bhqk", q * (hd ** -0.5), k)
+        attn = jnp.einsum(
+            "bqhc,bkhc->bhqk", q * (hd ** -0.5), k,
+            preferred_element_type=jnp.float32,
+        )
         # rpe applies to the box queries only (cubify_transformer.py:180-183).
         attn = attn.at[:, :, num_prefix:].add(rpe)
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         o = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(B, Nq, C)
-        return nn.Dense(C, name="proj")(o)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(o)
 
 
 class DecoderLayer(nn.Module):
@@ -124,26 +139,29 @@ class DecoderLayer(nn.Module):
     d_model: int = 256
     d_ffn: int = 2048
     n_heads: int = 8
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, tgt, query_pos, reference_2d, src, src_pos, hw, self_attn_mask, num_prefix):
         # self attention (pre-norm).
-        t2 = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt)
+        t2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt)
         qk = t2 + query_pos
-        t2 = TorchMHA(self.n_heads, name="self_attn")(qk, qk, t2, mask=self_attn_mask)
+        t2 = TorchMHA(self.n_heads, dtype=self.dtype, name="self_attn")(
+            qk, qk, t2, mask=self_attn_mask
+        )
         tgt = tgt + t2
 
         # global cross attention.
-        t2 = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
-        t2 = GlobalCrossAttention(num_heads=self.n_heads, name="xattn")(
+        t2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt)
+        t2 = GlobalCrossAttention(num_heads=self.n_heads, dtype=self.dtype, name="xattn")(
             t2 + query_pos, reference_2d, src + src_pos, src, hw, num_prefix
         )
         tgt = tgt + t2
 
         # ffn.
-        t2 = nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt)
-        t2 = nn.Dense(self.d_ffn, name="linear1")(t2)
+        t2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt)
+        t2 = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(t2)
         t2 = nn.relu(t2)
-        t2 = nn.Dense(self.d_model, name="linear2")(t2)
+        t2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(t2)
         tgt = tgt + t2
         return tgt

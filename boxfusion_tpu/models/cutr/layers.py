@@ -8,7 +8,7 @@ the ViT absolute position embeddings (vit.py:60-86).
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -26,17 +26,22 @@ def box_xyxy_to_cxcywh(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class MLP(nn.Module):
-    """ReLU MLP matching reference MLP (cubify_transformer.py:48-63)."""
+    """ReLU MLP matching reference MLP (cubify_transformer.py:48-63).
+
+    ``dtype`` is the compute dtype (params stay float32); callers that decode
+    coordinates from the output cast it back to float32 first.
+    """
 
     hidden_dim: int
     output_dim: int
     num_layers: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_layers):
             out = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
-            x = nn.Dense(out, name=f"layers_{i}")(x)
+            x = nn.Dense(out, dtype=self.dtype, name=f"layers_{i}")(x)
             if i < self.num_layers - 1:
                 x = nn.relu(x)
         return x

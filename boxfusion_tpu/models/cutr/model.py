@@ -90,6 +90,10 @@ class CuTRConfig:
     min_proposal_size: float = 50.0
     max_query_embeds: int = 1200
     use_pallas_attention: bool = False
+    # Compute dtype for the matmul-heavy paths (backbone, decoder, head
+    # MLPs); params, coordinate decoding, softmax and norm statistics stay
+    # float32.  bfloat16 is MXU-native on TPU (~2x forward throughput).
+    dtype: Any = jnp.float32
 
     @property
     def vit_heads(self) -> int:
@@ -111,16 +115,17 @@ class EncoderProposals(nn.Module):
         cfg = self.cfg
         B, F, _, C = src_2d.shape
         S = F * cfg.level_strides[0]
+        dt = cfg.dtype
 
         # expand_encoder_output (835-862): per-level projections of the
         # stride-16 map.
         mems = [src_2d]
-        lvl1 = nn.Conv(C, (2, 2), strides=(2, 2), padding="VALID", name="enc_output_proj_1")(src_2d)
+        lvl1 = nn.Conv(C, (2, 2), strides=(2, 2), padding="VALID", dtype=dt, name="enc_output_proj_1")(src_2d)
         mems.append(lvl1)
-        l2 = nn.Conv(C, (2, 2), strides=(2, 2), padding="VALID", name="enc_output_proj_2_0")(src_2d)
-        l2 = nn.LayerNorm(epsilon=1e-5, name="enc_output_proj_2_1")(l2)
+        l2 = nn.Conv(C, (2, 2), strides=(2, 2), padding="VALID", dtype=dt, name="enc_output_proj_2_0")(src_2d)
+        l2 = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="enc_output_proj_2_1")(l2)
         l2 = nn.gelu(l2, approximate=False)
-        l2 = nn.Conv(C, (2, 2), strides=(2, 2), padding="VALID", name="enc_output_proj_2_3")(l2)
+        l2 = nn.Conv(C, (2, 2), strides=(2, 2), padding="VALID", dtype=dt, name="enc_output_proj_2_3")(l2)
         mems.append(l2)
 
         # anchors (864-916): grid centers * stride, wh = min_size * 2^lvl.
@@ -147,11 +152,11 @@ class EncoderProposals(nn.Module):
         fill = float(S)
         anchors = jnp.where(valid[..., None], anchors, fill)
         memory = jnp.where(valid[..., None], memory, 0.0)
-        memory = nn.Dense(C, name="enc_output")(memory)
-        memory = nn.LayerNorm(epsilon=1e-5, name="enc_output_norm")(memory)
+        memory = nn.Dense(C, dtype=dt, name="enc_output")(memory)
+        memory = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="enc_output_norm")(memory)
 
-        enc_logits = ClassPredictor(name="class_predictor")(memory)
-        _, enc_boxes = DeltaBox2DPredictor(name="delta_box_predictor")(
+        enc_logits = ClassPredictor(dtype=dt, name="class_predictor")(memory)
+        _, enc_boxes = DeltaBox2DPredictor(dtype=dt, name="delta_box_predictor")(
             memory, anchors, clamp_wh
         )
 
@@ -173,6 +178,7 @@ class CubifyTransformer(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        dt = cfg.dtype
         self.backbone = ViT(
             embed_dim=cfg.embed_dim,
             num_heads=cfg.vit_heads,
@@ -181,14 +187,15 @@ class CubifyTransformer(nn.Module):
             encoder_norm=not cfg.depth_model,
             pretrain_img_size=512 if not cfg.depth_model else 224,
             use_pallas=cfg.use_pallas_attention,
+            dtype=dt,
             name="vit",
         )
-        self.pos_embedding = CameraRayEmbedding(cfg.decoder_dim, name="camera_ray")
+        self.pos_embedding = CameraRayEmbedding(cfg.decoder_dim, dtype=dt, name="camera_ray")
         self.input_proj_conv = nn.Conv(
-            cfg.decoder_dim, (1, 1), padding="VALID", name="input_proj_conv"
+            cfg.decoder_dim, (1, 1), padding="VALID", dtype=dt, name="input_proj_conv"
         )
         self.input_proj_norm = nn.GroupNorm(
-            num_groups=32, epsilon=1e-5, name="input_proj_norm"
+            num_groups=32, epsilon=1e-5, dtype=dt, name="input_proj_norm"
         )
         self.level_embed = self.param(
             "level_embed", nn.initializers.normal(1.0), (1, cfg.decoder_dim)
@@ -203,27 +210,27 @@ class CubifyTransformer(nn.Module):
             "metric_query_embed", nn.initializers.normal(1.0), (cfg.num_metric_tokens, cfg.decoder_dim)
         )
         self.box_2d_encoder = Box2DPromptEncoderLearned(
-            cfg.decoder_dim, name="box_2d_encoder"
+            cfg.decoder_dim, dtype=dt, name="box_2d_encoder"
         )
         self.layers = [
-            DecoderLayer(d_model=cfg.decoder_dim, name=f"decoder_layer_{i}")
+            DecoderLayer(d_model=cfg.decoder_dim, dtype=dt, name=f"decoder_layer_{i}")
             for i in range(cfg.num_decoder_layers)
         ]
-        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="decoder_norm")
         self.scale_predictors = [
-            ScalePredictor(name=f"scale_predictor_{i}")
+            ScalePredictor(dtype=dt, name=f"scale_predictor_{i}")
             for i in range(cfg.num_decoder_layers)
         ]
         self.class_predictors = [
-            ClassPredictor(name=f"class_predictor_{i}")
+            ClassPredictor(dtype=dt, name=f"class_predictor_{i}")
             for i in range(cfg.num_decoder_layers)
         ]
         self.box2d_predictors = [
-            DeltaBox2DPredictor(name=f"box2d_predictor_{i}")
+            DeltaBox2DPredictor(dtype=dt, name=f"box2d_predictor_{i}")
             for i in range(cfg.num_decoder_layers)
         ]
         self.box3d_predictors = [
-            AbsoluteBox3DPredictor(name=f"box3d_predictor_{i}")
+            AbsoluteBox3DPredictor(dtype=dt, name=f"box3d_predictor_{i}")
             for i in range(cfg.num_decoder_layers)
         ]
 
@@ -257,8 +264,12 @@ class CubifyTransformer(nn.Module):
             self.metric_query_embed[None], (B, nm, cfg.decoder_dim)
         )
 
-        output = jnp.concatenate([metric_queries, box_queries], axis=1)
-        query_pos = jnp.concatenate([jnp.zeros_like(metric_queries), box_pos], axis=1)
+        output = jnp.concatenate([metric_queries, box_queries], axis=1).astype(cfg.dtype)
+        query_pos = jnp.concatenate(
+            [jnp.zeros_like(metric_queries), box_pos.astype(jnp.float32)], axis=1
+        ).astype(cfg.dtype)
+        src = src.astype(cfg.dtype)
+        pos = pos.astype(cfg.dtype)
 
         # Block-diagonal self-attention mask between prompt groups
         # (Prompt.cat, cubify_transformer.py:680-702). True = blocked.
@@ -334,7 +345,7 @@ class CubifyTransformer(nn.Module):
             z = pred_b["z_scaled"][box_idx]
             dims = pred_b["dims"][box_idx]
             pose = pred_b["pose"][box_idx]
-            desc = pred_b["object_desc"][box_idx]
+            desc = pred_b["object_desc"][box_idx].astype(jnp.float32)
             sel_logits = logits[box_idx]
 
             # backproject through K^-1 (985-988).
@@ -360,5 +371,10 @@ class CubifyTransformer(nn.Module):
 
 
 def make_cutr(dimension: int = 768, depth_model: bool = True, **kw) -> CubifyTransformer:
-    """Mirror of make_cubify_transformer (cubify_transformer.py:1232-1323)."""
+    """Mirror of make_cubify_transformer (cubify_transformer.py:1232-1323).
+
+    ``dtype`` may be a jnp dtype or the strings "float32" / "bfloat16".
+    """
+    if isinstance(kw.get("dtype"), str):
+        kw["dtype"] = jnp.dtype(kw["dtype"]).type
     return CubifyTransformer(CuTRConfig(embed_dim=dimension, depth_model=depth_model, **kw))

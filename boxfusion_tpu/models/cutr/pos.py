@@ -10,6 +10,8 @@ normalization and Fourier features, matching F.pad + F.normalize).
 """
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -70,6 +72,7 @@ class CameraRayEmbedding(nn.Module):
     """Fourier-encoded camera rays -> linear projection (pos.py:152-186)."""
 
     dim: int = 256
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, K: jnp.ndarray, image_hw: jnp.ndarray, feat_size: int):
@@ -78,5 +81,6 @@ class CameraRayEmbedding(nn.Module):
             K, image_hw
         )
         # normalize again post-interp (pos.py:176) -- no-op for unit/zero rays.
+        # Rays + Fourier features stay f32; only the projection runs in dtype.
         ff = fourier_features(r, dim=self.dim, max_freq=feat_size // 2)
-        return nn.Dense(self.dim, name="proj")(ff)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(ff)

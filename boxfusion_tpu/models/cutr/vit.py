@@ -18,10 +18,15 @@ joint RGB-D windowed attention (reference boxfusion/vit.py:16-521):
 Window partitioning zero-pads token maps to window multiples and lets the
 padded tokens participate in attention, exactly like the reference
 (vit.py:16-58 pads without masking).
+
+Mixed precision: every module takes a ``dtype`` compute dtype (parameters
+stay float32).  With ``dtype=bfloat16`` the matmuls run MXU-native; attention
+scores are accumulated and softmaxed in float32 and LayerNorm statistics are
+float32 (flax default), so only the bandwidth-bound tensors drop precision.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -61,6 +66,7 @@ class PatchEmbed(nn.Module):
 
     embed_dim: int
     patch: int = 16
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -69,6 +75,7 @@ class PatchEmbed(nn.Module):
             kernel_size=(self.patch, self.patch),
             strides=(self.patch, self.patch),
             padding="VALID",
+            dtype=self.dtype,
             name="proj",
         )(x)
 
@@ -88,6 +95,7 @@ class JointAttention(nn.Module):
 
     num_heads: int
     use_pallas: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, depth=None):
@@ -95,17 +103,26 @@ class JointAttention(nn.Module):
         hd = C // self.num_heads
         scale = hd ** -0.5
 
-        qkv = nn.Dense(3 * C, name="qkv")
-        proj = nn.Dense(C, name="proj")
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")
+        proj = nn.Dense(C, dtype=self.dtype, name="proj")
 
         def split_qkv(t, n):
             # (B, N, 3, heads, hd) matching torch's packed reshape.
             r = qkv(t).reshape(B, n, 3, self.num_heads, hd)
             return r[:, :, 0], r[:, :, 1], r[:, :, 2]  # each (B, N, heads, hd)
 
+        def attend(qh, kh, vh):
+            # scores accumulate + softmax in f32; PV matmul back in dtype.
+            a = jnp.einsum(
+                "bqhc,bkhc->bhqk", qh * scale, kh,
+                preferred_element_type=jnp.float32,
+            )
+            a = jax.nn.softmax(a, axis=-1).astype(vh.dtype)
+            return jnp.einsum("bhqk,bkhc->bqhc", a, vh)
+
         q, k, v = split_qkv(x.reshape(B, H * W, C), H * W)
 
-        if depth is None and self.use_pallas and H * W >= 256:
+        if depth is None and self.use_pallas and H * W >= 256 and self.dtype == jnp.float32:
             from boxfusion_tpu.ops.attention import tiled_attention
 
             def fold(t):  # (B, N, heads, hd) -> (B*heads, N, hd)
@@ -122,16 +139,12 @@ class JointAttention(nn.Module):
             k = jnp.concatenate([k, kd], axis=1)
             v = jnp.concatenate([v, vd], axis=1)
 
-            attn_d = jnp.einsum("bqhc,bkhc->bhqk", qd * scale, k)
-            attn_d = jax.nn.softmax(attn_d, axis=-1)
-            out_d = jnp.einsum("bhqk,bkhc->bqhc", attn_d, v).reshape(B, Hd, Wd, C)
+            out_d = attend(qd, k, v).reshape(B, Hd, Wd, C)
             out_d = proj(out_d)
         else:
             out_d = None
 
-        attn = jnp.einsum("bqhc,bkhc->bhqk", q * scale, k)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(B, H, W, C)
+        out = attend(q, k, v).reshape(B, H, W, C)
         out = proj(out)
         return out, out_d
 
@@ -140,13 +153,14 @@ class Mlp(nn.Module):
     """timm-style MLP (fc1/act/fc2) used by the reference blocks (vit.py:274)."""
 
     hidden_dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
-        x = nn.Dense(self.hidden_dim, name="fc1")(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(dim, name="fc2")(x)
+        return nn.Dense(dim, dtype=self.dtype, name="fc2")(x)
 
 
 class Block(nn.Module):
@@ -159,17 +173,22 @@ class Block(nn.Module):
     depth_modality: bool = False
     layer_scale: bool = False
     use_pallas: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, depth=None):
         dim = x.shape[-1]
-        norm1 = nn.LayerNorm(epsilon=1e-6, name="norm1")
-        norm2 = nn.LayerNorm(epsilon=1e-6, name="norm2")
-        mlp = Mlp(int(dim * self.mlp_ratio), name="mlp")
-        attn = JointAttention(self.num_heads, use_pallas=self.use_pallas, name="attn")
+        norm1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")
+        mlp = Mlp(int(dim * self.mlp_ratio), dtype=self.dtype, name="mlp")
+        attn = JointAttention(
+            self.num_heads, use_pallas=self.use_pallas, dtype=self.dtype, name="attn"
+        )
         if self.layer_scale:
             ls1 = self.param("ls1_gamma", nn.initializers.ones, (dim,))
             ls2 = self.param("ls2_gamma", nn.initializers.ones, (dim,))
+            ls1 = ls1.astype(self.dtype)
+            ls2 = ls2.astype(self.dtype)
 
         shortcut = x
         xn = norm1(x)
@@ -238,29 +257,34 @@ class ViT(nn.Module):
     pretrain_use_cls_token: bool = True
     patch: int = 16
     use_pallas: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, depth: Optional[jnp.ndarray] = None):
         grid = self.pretrain_img_size // self.patch
         n_pos = grid * grid + (1 if self.pretrain_use_cls_token else 0)
 
-        x = PatchEmbed(self.embed_dim, name="patch_embed")(image)
+        image = image.astype(self.dtype)
+        x = PatchEmbed(self.embed_dim, dtype=self.dtype, name="patch_embed")(image)
         pos = self.param(
             "pos_embed",
             nn.initializers.truncated_normal(0.02),
             (1, n_pos, self.embed_dim),
         )
         p = pos[:, 1:] if self.pretrain_use_cls_token else pos
-        x = x + resize_pos_embed(p, grid, (x.shape[1], x.shape[2]))
+        # bicubic resize in f32, cast once (exactness of the matrix matters
+        # for parity; the cast is the same rounding the patch tokens see).
+        x = x + resize_pos_embed(p, grid, (x.shape[1], x.shape[2])).astype(self.dtype)
 
         d = None
         if self.depth_modality and depth is not None:
-            d = PatchEmbed(self.embed_dim, name="patch_embed_depth")(depth)
+            depth = depth.astype(self.dtype)
+            d = PatchEmbed(self.embed_dim, dtype=self.dtype, name="patch_embed_depth")(depth)
             pos_d = self.param(
                 "pos_embed_depth", nn.initializers.zeros, (1, n_pos, self.embed_dim)
             )
             pd = pos_d[:, 1:] if self.pretrain_use_cls_token else pos_d
-            d = d + resize_pos_embed(pd, grid, (d.shape[1], d.shape[2]))
+            d = d + resize_pos_embed(pd, grid, (d.shape[1], d.shape[2])).astype(self.dtype)
 
         for i in range(self.depth):
             is_window = i in self.window_block_indexes
@@ -273,6 +297,7 @@ class ViT(nn.Module):
                 depth_modality=self.depth_modality and is_window,
                 layer_scale=self.layer_scale,
                 use_pallas=self.use_pallas and not is_window,
+                dtype=self.dtype,
                 name=f"blocks_{i}",
             )
             if blk.depth_modality and d is not None:
@@ -281,5 +306,5 @@ class ViT(nn.Module):
                 x, _ = blk(x)
 
         if self.encoder_norm:
-            x = nn.LayerNorm(epsilon=1e-6, name="encoder_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="encoder_norm")(x)
         return x

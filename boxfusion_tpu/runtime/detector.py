@@ -32,6 +32,7 @@ class CuTRDetector:
         params,
         donate: bool = False,
         device_output: bool = False,
+        export_image: bool = False,
     ):
         self.model = model
         self.params = params
@@ -40,6 +41,10 @@ class CuTRDetector:
         # device_output: return jax arrays without any D2H sync, enabling the
         # DevicePipeline's fully device-resident detect->associate->fuse path.
         self.device_output = device_output
+        # export_image: additionally return the de-normalized [0,255] device
+        # image under "image_dev" so on-device open-vocab labeling (CLIP
+        # crops) needs no extra host->device transfer.
+        self.export_image = export_image
 
     def __call__(self, frame: Frame) -> Dict[str, np.ndarray]:
         batch, _, _ = self.preprocessor(
@@ -57,5 +62,18 @@ class CuTRDetector:
             "object_desc",
         )
         if self.device_output:
-            return {k: v[0] for k, v in out.items() if k in take}
+            det = {k: v[0] for k, v in out.items() if k in take}
+            if self.export_image:
+                det["image_dev"] = _denormalize(batch.image[0])
+            return det
         return {k: np.asarray(v[0]) for k, v in out.items() if k in take}
+
+
+@jax.jit
+def _denormalize(image):
+    """Invert the detector pixel normalization back to [0, 255] RGB
+    (exact: the u8-truncated constants round-trip, data/preprocess.py:83-88)."""
+    from boxfusion_tpu.data.preprocess import PIXEL_MEAN_U8, PIXEL_STD_U8
+    import jax.numpy as jnp
+
+    return image * jnp.asarray(PIXEL_STD_U8) + jnp.asarray(PIXEL_MEAN_U8)

@@ -115,6 +115,7 @@ class DevicePipeline:
 
     def process_keyframe(self, frame) -> None:
         det = self.detector(frame)
+        image_dev = det.pop("image_dev", None)
         det = {
             k: v
             for k, v in det.items()
@@ -123,10 +124,33 @@ class DevicePipeline:
 
         # device-resident fast path: detector outputs that are already jax
         # arrays feed the step directly -- no D2H sync, no host packing; only
-        # the (37,) metadata vector crosses the host boundary.
-        if self.labeler is None and all(
+        # the (37,) metadata vector crosses the host boundary.  Open-vocab
+        # labeling joins the fast path when the detector exports the device
+        # image: CLIP crops + similarity + score boost all run on device
+        # (models/clip/head.py::label_boost_device).
+        device_label = (
+            self.labeler is not None
+            and image_dev is not None
+            and hasattr(self.labeler, "label_boost_device")
+        )
+        if (self.labeler is None or device_label) and all(
             isinstance(v, jax.Array) for v in det.values()
         ):
+            if device_label:
+                if self.class_list is None:
+                    self.class_list = list(self.labeler.class_list) + [""]
+                h0, w0 = frame.image.shape[:2]
+                new_scores, categories, _ = self.labeler.label_boost_device(
+                    image_dev,
+                    det["pred_boxes"],
+                    det["scores"],
+                    (h0, w0),
+                    float(self.cfg["detection"]["scale_box"]),
+                    float(self.cfg["box_fusion"]["clip_sim_coeff"]),
+                    budget=int(self.cfg["detection"]["max_label_boxes"]),
+                )
+                det["scores"] = new_scores
+                det["category"] = categories
             h, w = frame.image.shape[:2]
             meta = np.empty(META_WIDTH, np.float32)
             meta[:16] = np.asarray(frame.gt_pose, np.float32).ravel()

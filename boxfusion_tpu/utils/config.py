@@ -51,6 +51,13 @@ DEFAULTS: Dict[str, Any] = {
         "size_max_thres": 0.0,  # 0 disables the large-box filter
         # TPU-specific static capacities:
         "max_detections": 100,
+        # Detector compute dtype: "float32" or "bfloat16" (MXU-native; the
+        # coordinate math stays f32 either way -- models/cutr/model.py).
+        "compute_dtype": "float32",
+        # Device-resident labeling: CLIP crops for the top-N detections per
+        # keyframe (static shape; N >= the post-score-filter count keeps
+        # reference behavior exactly).
+        "max_label_boxes": 32,
     },
     "association": {
         "small_threshold": 0.2,

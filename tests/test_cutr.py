@@ -126,3 +126,36 @@ def test_cutr_gravity_applied(tiny_model):
     out2 = model.apply(params, dataclasses.replace(batch, T_gravity=Tg))
     want = np.einsum("ij,njk->nik", np.asarray(Tg[0]), np.asarray(out1["R"][0]))
     np.testing.assert_allclose(np.asarray(out2["R"][0]), want, atol=1e-5)
+
+
+def test_cutr_bfloat16_compute_path(tiny_model):
+    """bf16 compute dtype: same params, f32 outputs, small dense deviation.
+
+    Coordinate decoding / softmax / norm stats stay f32 by design, so the
+    dense (pre-top-k) encoder outputs must track the f32 model closely even
+    with untrained weights.
+    """
+    model, params, batch = tiny_model
+    import dataclasses
+
+    rng = np.random.RandomState(3)
+    batch = dataclasses.replace(
+        batch,
+        image=jnp.asarray(rng.randn(*batch.image.shape), jnp.float32),
+        depth=jnp.asarray(rng.randn(*batch.depth.shape), jnp.float32),
+    )
+    m16 = make_cutr(dimension=192, depth_model=True, dtype="bfloat16")
+    o32 = jax.jit(model.apply)(params, batch)
+    o16 = jax.jit(m16.apply)(params, batch)
+
+    # everything the pipeline consumes is float32 regardless of compute dtype
+    for k in ("scores", "pred_boxes", "boxes3d", "R", "proj_xy", "object_desc"):
+        assert o16[k].dtype == jnp.float32, k
+
+    enc32, enc16 = np.asarray(o32["enc_logits"]), np.asarray(o16["enc_logits"])
+    assert np.abs(enc32 - enc16).max() < 0.1
+    b32, b16 = np.asarray(o32["enc_boxes"]), np.asarray(o16["enc_boxes"])
+    assert np.abs(b32 - b16).max() < 8.0  # px, untrained weights
+    s32 = np.sort(np.asarray(o32["scores"]).ravel())
+    s16 = np.sort(np.asarray(o16["scores"]).ravel())
+    assert np.abs(s32 - s16).max() < 0.05

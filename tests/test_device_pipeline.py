@@ -268,3 +268,87 @@ def test_device_check_valid_drops_unreobserved():
     centers = np.asarray(state.xyzlhw[: int(state.n), :3])
     assert int(state.n) == 1, centers
     np.testing.assert_allclose(centers[0], A, atol=1e-4)
+
+
+def test_device_resident_labeling_matches_host_path():
+    """When the detector exports the device image, open-vocab labeling runs
+    fully on device (no D2H) and must reproduce the host labeling path:
+    same categories, same CLIP score boost, same background drops."""
+    import jax.numpy as jnp
+
+    from boxfusion_tpu.models.clip.head import OpenVocabLabeler
+    from boxfusion_tpu.models.clip.model import CLIPConfig
+
+    cfg = _cfg()
+    cfg["box_fusion"]._data["clip_sim_coeff"] = 2.0
+
+    tiny = CLIPConfig(
+        patch=32, width=64, layers=2, heads=2, embed_dim=32,
+        vocab_size=64, context_length=8, text_width=64, text_layers=1, text_heads=2,
+    )
+    tf = np.random.RandomState(0).randn(4, 32).astype(np.float32)
+    classes = ["chair", "table", "sofa", "lamp"]
+
+    seq = SyntheticSequence(n_frames=15, n_boxes=3, seed=5)
+    oracle = OracleDetector(seq, noise=0.0)
+
+    host_labeler = OpenVocabLabeler(classes, tf, cfg=tiny, sim_thres=-1e9, max_boxes=16).init_random()
+    host = DevicePipeline(cfg, oracle, labeler=host_labeler, capacity=64)
+    host_world = host.run(seq, gap=5)
+
+    class DeviceOracle:
+        def __call__(self, frame):
+            det = {k: jnp.asarray(v) for k, v in oracle(frame).items()}
+            det["image_dev"] = jnp.asarray(frame.image, jnp.float32)
+            return det
+
+    dev_labeler = OpenVocabLabeler(classes, tf, cfg=tiny, sim_thres=-1e9, max_boxes=16).init_random(0)
+    dev = DevicePipeline(cfg, DeviceOracle(), labeler=dev_labeler, capacity=64)
+    dev_world = dev.run(seq, gap=5)
+
+    assert len(dev_world["scores"]) == len(host_world["scores"])
+    od = np.argsort(dev_world["init_id"])
+    oh = np.argsort(host_world["init_id"])
+    np.testing.assert_array_equal(
+        np.asarray(dev_world["init_id"])[od], np.asarray(host_world["init_id"])[oh]
+    )
+    assert [dev_world["categories"][i] for i in od] == [
+        host_world["categories"][i] for i in oh
+    ]
+    np.testing.assert_allclose(
+        np.asarray(dev_world["scores"])[od],
+        np.asarray(host_world["scores"])[oh],
+        atol=1e-4,
+    )
+
+
+def test_device_labeling_background_dropped():
+    """sim_thres above every similarity labels everything background ->
+    the device step's score filter must drop all detections."""
+    import jax.numpy as jnp
+
+    from boxfusion_tpu.models.clip.head import OpenVocabLabeler
+    from boxfusion_tpu.models.clip.model import CLIPConfig
+
+    cfg = _cfg()
+    tiny = CLIPConfig(
+        patch=32, width=64, layers=2, heads=2, embed_dim=32,
+        vocab_size=64, context_length=8, text_width=64, text_layers=1, text_heads=2,
+    )
+    tf = np.random.RandomState(0).randn(4, 32).astype(np.float32)
+    labeler = OpenVocabLabeler(
+        ["chair", "table", "sofa", "lamp"], tf, cfg=tiny, sim_thres=1e9, max_boxes=16
+    ).init_random()
+
+    seq = SyntheticSequence(n_frames=10, n_boxes=3, seed=5)
+    oracle = OracleDetector(seq, noise=0.0)
+
+    class DeviceOracle:
+        def __call__(self, frame):
+            det = {k: jnp.asarray(v) for k, v in oracle(frame).items()}
+            det["image_dev"] = jnp.asarray(frame.image, jnp.float32)
+            return det
+
+    dev = DevicePipeline(cfg, DeviceOracle(), labeler=labeler, capacity=64)
+    world = dev.run(seq, gap=5)
+    assert len(world["scores"]) == 0
