@@ -143,6 +143,68 @@ def obb_grid_iou(
     return jnp.where(obb_intersect_mask(corners_a, corners_b), iou, 0.0)
 
 
+def obb_grid_iou_pairs(
+    corners_a: jnp.ndarray,
+    corners_b: jnp.ndarray,
+    samples_per_axis: int = GRID_SAMPLES_PER_AXIS,
+) -> jnp.ndarray:
+    """Batched grid-sampled volumetric IoU over N (a, b) pairs.
+
+    Same lattice and point-in-box math as `obb_grid_iou` (reference
+    instances.py:573-613) but written as one broadcast elementwise chain —
+    no meshgrid materialization, no small-K einsum — so XLA fuses the whole
+    lattice into the three count reductions and only (N,) outputs touch HBM.
+    The per-pair intersection gate is NOT applied here; callers that need
+    the reference's gated semantics multiply by `obb_intersect_mask`.
+
+    Args:
+      corners_a, corners_b: (N, 8, 3) world corners (template layout).
+
+    Returns:
+      (N,) IoU values.
+    """
+    S = samples_per_axis
+    allc = jnp.concatenate([corners_a, corners_b], axis=1)  # (N, 16, 3)
+    lo = jnp.min(allc, axis=1)  # (N, 3)
+    hi = jnp.max(allc, axis=1)
+
+    t = jnp.linspace(0.0, 1.0, S, dtype=corners_a.dtype)
+    fx = t[None, :, None, None]  # broadcast axes: (N, Sx, Sy, Sz)
+    fy = t[None, None, :, None]
+    fz = t[None, None, None, :]
+
+    def coord(axis, f):
+        span = (hi[:, axis] - lo[:, axis])[:, None, None, None]
+        return lo[:, axis][:, None, None, None] + f * span
+
+    px = coord(0, fx)
+    py = coord(1, fy)
+    pz = coord(2, fz)
+
+    def in_box(corners):
+        c, u, h = _box_frame(corners)
+        rx = px - c[:, 0][:, None, None, None]
+        ry = py - c[:, 1][:, None, None, None]
+        rz = pz - c[:, 2][:, None, None, None]
+        ins = None
+        for j in range(3):
+            pj = (
+                rx * u[:, j, 0][:, None, None, None]
+                + ry * u[:, j, 1][:, None, None, None]
+                + rz * u[:, j, 2][:, None, None, None]
+            )
+            ok = jnp.abs(pj) <= (h[:, j] + 1e-6)[:, None, None, None]
+            ins = ok if ins is None else ins & ok
+        return ins
+
+    in_a = in_box(corners_a)
+    in_b = in_box(corners_b)
+    n_a = jnp.sum(in_a, axis=(1, 2, 3))
+    n_b = jnp.sum(in_b, axis=(1, 2, 3))
+    n_ab = jnp.sum(in_a & in_b, axis=(1, 2, 3))
+    return n_ab / (n_a + n_b - n_ab + 1e-6)
+
+
 def pairwise_obb_iou(
     corners: jnp.ndarray,
     valid: jnp.ndarray | None = None,

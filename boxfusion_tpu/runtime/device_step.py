@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from boxfusion_tpu.fusion.optimizer import PSTOptConfig, init_opt_params, optimize_boxes
 from boxfusion_tpu.geometry.boxes import box_corners
-from boxfusion_tpu.geometry.iou import obb_grid_iou, obb_intersect_mask
+from boxfusion_tpu.geometry.iou import obb_grid_iou_pairs, obb_intersect_mask
 from boxfusion_tpu.geometry.projection import (
     project_boxes_to_2d,
     project_corners_to_image,
@@ -177,6 +177,18 @@ def _nms_greedy(state: DeviceState, cfg: StepConfig):
     G = state.capacity
     slot_valid = jnp.arange(G) < state.n
 
+    # Exact shortcut: a box whose cached IoU against every other alive box is
+    # <= threshold can neither suppress nor be suppressed, and greedy NMS
+    # never mutates it (keep=True, no valid_num/success/record changes), so
+    # it can be kept without a loop iteration.  Removing it from the score
+    # order cannot change any other decision because all its pair IoUs fail
+    # the threshold.  This bounds the serial while_loop to the overlap graph
+    # (~the new detections and their neighbours) instead of the whole world
+    # set -- the dominant device cost at high detection loads.
+    pair_on = (state.iou > cfg.nms_threshold) & slot_valid[None, :]
+    contested = slot_valid & jnp.any(pair_on, axis=1)
+    isolated = slot_valid & ~contested
+
     def outer_cond(c):
         _, remaining, *_ = c
         return jnp.any(remaining)
@@ -216,7 +228,7 @@ def _nms_greedy(state: DeviceState, cfg: StepConfig):
     state, _, keep, success = jax.lax.while_loop(
         outer_cond,
         outer_body,
-        (state, slot_valid, jnp.zeros(G, bool), jnp.zeros(G, bool)),
+        (state, contested, isolated, jnp.zeros(G, bool)),
     )
     return state, keep, success
 
@@ -385,11 +397,14 @@ def _gated_iou_rows(corners_q, mask_q, corners_all, mask_all, cfg: StepConfig):
     ia = pair_idx // A
     ib = pair_idx % A
 
-    vals = jax.vmap(
-        lambda i, j, on: jnp.where(
-            on, obb_grid_iou(corners_q[i], corners_all[j], cfg.grid_samples), 0.0
-        )
-    )(ia, ib, flat[pair_idx])
+    # one fused elementwise lattice over all gated pairs (geometry/iou.py::
+    # obb_grid_iou_pairs): only the (k,) IoUs touch HBM, vs ~1 GB/keyframe of
+    # materialized (k, 25^3, 3) intermediates with the per-pair formulation.
+    vals = jnp.where(
+        flat[pair_idx],
+        obb_grid_iou_pairs(corners_q[ia], corners_all[ib], cfg.grid_samples),
+        0.0,
+    )
 
     rows = jnp.zeros(Q * A, jnp.float32).at[pair_idx].set(vals).reshape(Q, A)
     return rows

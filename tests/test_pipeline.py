@@ -104,3 +104,55 @@ def test_pipeline_frame_and_keyframe_hooks(cfg):
     assert len(frames) == 15
     assert len(keyframes) == 3
     assert keyframes[-1] == 3
+
+
+def test_cutr_detector_fused_matches_two_step():
+    """CuTRDetector's single-dispatch path == Preprocessor + model.apply.
+
+    The fused executable (pixel normalize + pad + whiten + forward + squeeze
+    in one jit) must be numerically identical to the two-step path it
+    replaced, and device_output must hand back jax arrays (no D2H).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from boxfusion_tpu.data.preprocess import Preprocessor
+    from boxfusion_tpu.data.readers import Frame
+    from boxfusion_tpu.models.cutr import make_cutr
+    from boxfusion_tpu.runtime.detector import CuTRDetector
+
+    rng = np.random.RandomState(0)
+    H, W = 192, 256
+    image = rng.randint(0, 255, (H, W, 3), np.uint8)
+    depth = (rng.rand(H, W) * 3.0 + 0.3).astype(np.float32)
+    K = np.array([[210.0, 0, W / 2], [0, 210.0, H / 2], [0, 0, 1]], np.float32)
+    frame = Frame(
+        image=image, depth=depth, K=K, K_depth=K,
+        T_gravity=np.eye(3, dtype=np.float32),
+        gt_pose=np.eye(4, dtype=np.float32),
+        video_id="t", timestamp=0,
+    )
+
+    model = make_cutr(dimension=192, depth_model=True)
+    pre = Preprocessor()
+    batch, square, ratio = pre(image, depth, K, frame.T_gravity)
+    assert (square, ratio) == (256, 1)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+
+    want = jax.jit(model.apply)(params, batch)
+
+    det = CuTRDetector(model, params, device_output=True, export_image=True)
+    got = det(frame)
+    assert all(isinstance(v, jax.Array) for v in got.values())
+    for k in ("scores", "pred_boxes", "boxes3d", "R", "proj_xy"):
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k][0]), err_msg=k)
+
+    # image_dev round-trips the u8 pixels inside the actual (h, w) region
+    img = np.asarray(got["image_dev"])[:H, :W]
+    np.testing.assert_allclose(img, image.astype(np.float32), atol=1e-3)
+
+    # numpy path drops image_dev and matches too
+    det_np = CuTRDetector(model, params)
+    got_np = det_np(frame)
+    assert "image_dev" not in got_np
+    np.testing.assert_array_equal(got_np["scores"], np.asarray(want["scores"][0]))
