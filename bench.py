@@ -95,10 +95,11 @@ def main() -> None:
     warm.flush()
     jax.block_until_ready(warm.state.n)
 
-    # median of 3 runs: the tunneled single-chip TPU shows high run-to-run
-    # variance, and the driver records a single number
+    # median of 5 runs: the tunneled single-chip TPU shows high run-to-run
+    # variance (see docs/TUNNEL_PERF_NOTES.md), and the driver records a
+    # single number
     fps_runs = []
-    for _ in range(3):
+    for _ in range(5):
         pipe = DevicePipeline(cfg, BenchDetector(), capacity=256)
         pipe.run(frames, gap=gap)  # blocks on device state before timing ends
         fps_runs.append(pipe.fps)

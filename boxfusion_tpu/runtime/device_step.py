@@ -699,7 +699,13 @@ def _keyframe_step_impl(
     return jax.lax.cond(k_new > 0, with_news, no_news, state)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+# NOTE: the state is deliberately NOT donated.  On the tunneled axon
+# backend, donating an input of a long-running (~ms) executable poisons the
+# process-wide dispatch path (tiny-op latency 0.03 -> ~2 ms, device_put
+# 0.7 -> 44 ms; bisected in tools/profile_degrade4.py) -- a ~40 ms/keyframe
+# tax on everything that follows.  The un-donated state copy is ~1 MB and
+# costs microseconds.
+@partial(jax.jit, static_argnames=("cfg",))
 def keyframe_step(
     state: DeviceState,
     det: dict,
@@ -737,7 +743,7 @@ def _unpack_detections(packed: jnp.ndarray) -> dict:
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "kmax"), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("cfg", "kmax"))
 def keyframe_step_devdet(
     state: DeviceState,
     det: dict,
@@ -785,7 +791,7 @@ def keyframe_step_devdet(
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("cfg",))
 def keyframe_step_packed(
     state: DeviceState,
     buf: jnp.ndarray,

@@ -14,6 +14,10 @@ import time
 import jax
 import numpy as np
 
+from boxfusion_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from boxfusion_tpu.data.synthetic import SyntheticSequence
 from boxfusion_tpu.models.cutr import make_cutr
 from boxfusion_tpu.runtime.detector import CuTRDetector
@@ -35,7 +39,9 @@ from boxfusion_tpu.data.preprocess import Preprocessor
 
 pre = Preprocessor()
 batch0, _, _ = pre(kf[0].image, kf[0].depth, kf[0].K, kf[0].T_gravity)
+print("compiling model.init...", flush=True)
 params = jax.jit(model.init)(jax.random.PRNGKey(0), batch0)
+print("init done", flush=True)
 detector = CuTRDetector(model, params, device_output=True)
 
 cfg = load_config("config/ca1m.yaml")
@@ -59,7 +65,9 @@ def run_pipe():
     return time.perf_counter() - t0
 
 
+print("compiling pipeline...", flush=True)
 run_pipe()  # compile + warm
+print("pipeline warm", flush=True)
 times = [run_pipe() for _ in range(3)]
 dt = float(np.median(times))
 print(f"e2e (real CuTR, device-resident, 100 det/kf): {n_frames/dt:8.1f} FPS "
