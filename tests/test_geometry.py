@@ -266,3 +266,31 @@ class TestOrientation:
         # 'yxz' euler of T must have a (near) zero yaw-about-gravity component.
         ey = Rotation.from_matrix(T).as_euler("yxz")
         assert abs(ey[0]) < 1e-6
+
+
+class TestGridIoUPairs:
+    """The fused batched lattice (obb_grid_iou_pairs) vs the per-pair op."""
+
+    def test_matches_scalar_version(self):
+        import jax
+
+        from boxfusion_tpu.geometry.iou import obb_grid_iou_pairs
+
+        rng = np.random.RandomState(0)
+        n = 64
+        ca, cb = [], []
+        for i in range(n):
+            Ra = Rotation.random(random_state=i).as_matrix()
+            Rb = Rotation.random(random_state=i + 500).as_matrix()
+            c = rng.uniform(-1, 1, 3)
+            ca.append(_make_box(c, rng.uniform(0.2, 1.0, 3), Ra))
+            cb.append(_make_box(c + rng.uniform(-0.4, 0.4, 3), rng.uniform(0.2, 1.0, 3), Rb))
+        ca = jnp.asarray(np.stack(ca), jnp.float32)
+        cb = jnp.asarray(np.stack(cb), jnp.float32)
+
+        scalar = jax.jit(jax.vmap(lambda a, b: obb_grid_iou(a, b)))(ca, cb)
+        gate = jax.jit(jax.vmap(obb_intersect_mask))(ca, cb)
+        batched = jax.jit(obb_grid_iou_pairs)(ca, cb) * gate
+        # identical lattice + math; only borderline lattice points may flip
+        np.testing.assert_allclose(np.asarray(batched), np.asarray(scalar), atol=1e-3)
+        assert (np.asarray(scalar) > 0).sum() > 10  # the scene overlaps
