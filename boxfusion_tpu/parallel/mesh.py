@@ -141,6 +141,31 @@ def shard_train_step(train_step, mesh: Mesh, state, batch, targets):
     return jitted, placed_state, placed_batch, placed_targets
 
 
+def shard_inference(apply_fn, mesh: Mesh, params, donate_params: bool = False):
+    """Model-parallel serving: jit the forward with tp/fsdp-sharded params.
+
+    The batch is replicated (single-stream online serving -- the latency
+    path; use the eval runner's per-device sequence fan-out for offline
+    throughput instead).  Attention/MLP kernels are sharded by
+    `param_shardings` (fsdp on the input dim, tp on the output dim), so
+    GSPMD inserts all-gathers/reduce-scatters on ICI around the matmuls;
+    activations stay replicated at layer boundaries.
+
+    Returns (jitted_apply, placed_params): call
+    ``jitted_apply(placed_params, batch)`` with a host or device batch.
+    """
+    p_shard = param_shardings(params, mesh)
+    placed = jax.device_put(params, p_shard)
+    repl = NamedSharding(mesh, P())
+    jitted = jax.jit(
+        apply_fn,
+        in_shardings=(p_shard, repl),
+        out_shardings=repl,
+        donate_argnums=(0,) if donate_params else (),
+    )
+    return jitted, placed
+
+
 def _mirror_opt_shardings(opt_state, params, p_shard, mesh):
     flat_params = {
         jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(p_shard)

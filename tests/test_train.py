@@ -84,3 +84,53 @@ def test_mesh_shardings_divisibility():
     sh = param_shardings(params, mesh)
     assert sh["a"]["kernel"].spec == jax.sharding.PartitionSpec(None, "tp")
     assert sh["b"]["kernel"].spec == jax.sharding.PartitionSpec("fsdp", "tp")
+
+
+def test_shard_inference_matches_single_device():
+    """Model-parallel CuTR forward on the 8-device mesh == single device.
+
+    GSPMD may reorder reductions, so compare with a small tolerance.
+    """
+    from boxfusion_tpu.models.cutr import FrameBatch, make_cutr
+    from boxfusion_tpu.parallel import make_mesh, shard_inference
+
+    S, r, dim = 256, 4, 192
+    rng = np.random.RandomState(0)
+    f = 0.6 * S
+    batch = FrameBatch(
+        image=jnp.asarray(rng.randn(1, S, S, 3), jnp.float32),
+        depth=jnp.asarray(rng.randn(1, S // r, S // r, 1), jnp.float32),
+        K=jnp.asarray([[[f, 0, S / 2], [0, f, S / 2], [0, 0, 1]]], jnp.float32),
+        image_hw=jnp.asarray([[0.75 * S, S]], jnp.float32),
+        depth_params=jnp.asarray([[2.0, 0.5]], jnp.float32),
+        T_gravity=jnp.eye(3, dtype=jnp.float32)[None],
+    )
+    model = make_cutr(dimension=dim, depth_model=True)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    want = jax.jit(model.apply)(params, batch)
+
+    mesh = make_mesh(8)
+    jitted, placed = shard_inference(model.apply, mesh, params)
+    got = jitted(placed, batch)
+
+    # parameters really are distributed
+    n_sharded = sum(
+        0 if v.sharding.spec == jax.sharding.PartitionSpec() else 1
+        for v in jax.tree.leaves(placed)
+        if hasattr(v, "sharding")
+    )
+    assert n_sharded > 20, n_sharded
+
+    # dense (pre-top-k) outputs are order-free; top-k row ORDER can differ
+    # because sharded reductions reorder float sums among near-tied scores
+    np.testing.assert_allclose(
+        np.asarray(got["enc_logits"]), np.asarray(want["enc_logits"]), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["enc_boxes"]), np.asarray(want["enc_boxes"]), atol=0.5
+    )
+    np.testing.assert_allclose(
+        np.sort(np.asarray(got["scores"]).ravel()),
+        np.sort(np.asarray(want["scores"]).ravel()),
+        atol=2e-3,
+    )
