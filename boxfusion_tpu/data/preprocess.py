@@ -117,6 +117,23 @@ def _package_jit(image_u8, depth, K, T_gravity, square: int, ratio: int):
     )
 
 
+def resolve_pad_and_ratio(image, depth, buckets=SQUARE_PAD_BUCKETS):
+    """(square_pad, rgb:depth ratio) for one frame -- the reference's bucket
+    rule (imagelist.py:87-97) + ratio constraint (preprocessor.py:163-166).
+
+    Shared by the host Preprocessor and the detector's fused path so the
+    bucketing rule has exactly one definition."""
+    h, w = image.shape[:2]
+    square = pick_square_pad(max(h, w), buckets)
+    if depth is not None:
+        ratio = round(w / depth.shape[1])
+        if ratio not in (1, 2, 4):
+            raise ValueError(f"Unsupported rgb -> depth ratio: {ratio}")
+    else:
+        ratio = 1
+    return square, ratio
+
+
 class Preprocessor:
     """Host-facing preprocessor: numpy frame dict -> device FrameBatch.
 
@@ -139,14 +156,7 @@ class Preprocessor:
         K (3, 3) at image resolution; T_gravity (3, 3).
 
         Returns (FrameBatch, square, ratio)."""
-        h, w = image.shape[:2]
-        square = pick_square_pad(max(h, w), self.buckets)
-        if depth is not None:
-            ratio = round(w / depth.shape[1])
-            if ratio not in (1, 2, 4):
-                raise ValueError(f"Unsupported rgb -> depth ratio: {ratio}")
-        else:
-            ratio = 1
+        square, ratio = resolve_pad_and_ratio(image, depth, self.buckets)
         batch = _package_jit(
             jnp.asarray(image),
             jnp.asarray(depth, jnp.float32) if depth is not None else None,

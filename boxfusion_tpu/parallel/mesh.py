@@ -141,7 +141,7 @@ def shard_train_step(train_step, mesh: Mesh, state, batch, targets):
     return jitted, placed_state, placed_batch, placed_targets
 
 
-def shard_inference(apply_fn, mesh: Mesh, params, donate_params: bool = False):
+def shard_inference(apply_fn, mesh: Mesh, params):
     """Model-parallel serving: jit the forward with tp/fsdp-sharded params.
 
     The batch is replicated (single-stream online serving -- the latency
@@ -157,12 +157,7 @@ def shard_inference(apply_fn, mesh: Mesh, params, donate_params: bool = False):
     p_shard = param_shardings(params, mesh)
     placed = jax.device_put(params, p_shard)
     repl = NamedSharding(mesh, P())
-    jitted = jax.jit(
-        apply_fn,
-        in_shardings=(p_shard, repl),
-        out_shardings=repl,
-        donate_argnums=(0,) if donate_params else (),
-    )
+    jitted = jax.jit(apply_fn, in_shardings=(p_shard, repl), out_shardings=repl)
     return jitted, placed
 
 

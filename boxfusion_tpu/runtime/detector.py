@@ -9,13 +9,13 @@ The whole keyframe path -- pixel normalization, square padding, depth
 whitening, model forward, batch-dim squeeze and (optionally) the
 de-normalized image export -- is ONE jitted program per bucket.  On the
 tunneled single-chip setup every separate dispatch/transfer costs ~1-4 ms
-of host latency, so the fused path (2 uploads + 1 dispatch) is ~3x faster
-wall-clock than preprocess-then-apply-then-slice even though the device
-FLOPs are identical.
+of host latency (docs/TUNNEL_PERF_NOTES.md), so the fused path (2 uploads
++ 1 dispatch) is ~3x faster wall-clock than preprocess-then-apply-then-
+slice even though the device FLOPs are identical.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -24,9 +24,9 @@ import numpy as np
 from boxfusion_tpu.data.preprocess import (
     PIXEL_MEAN_U8,
     PIXEL_STD_U8,
-    Preprocessor,
+    SQUARE_PAD_BUCKETS,
     _package_jit,
-    pick_square_pad,
+    resolve_pad_and_ratio,
 )
 from boxfusion_tpu.data.readers import Frame
 from boxfusion_tpu.models.cutr import CubifyTransformer
@@ -56,20 +56,22 @@ class CuTRDetector:
         self,
         model: CubifyTransformer,
         params,
-        donate: bool = False,
         device_output: bool = False,
         export_image: bool = False,
+        buckets=SQUARE_PAD_BUCKETS,
     ):
         self.model = model
         self.params = params
-        self.preprocessor = Preprocessor()
+        self.buckets = buckets
         # device_output: return jax arrays without any D2H sync, enabling the
         # DevicePipeline's fully device-resident detect->associate->fuse path.
         self.device_output = device_output
         # export_image: additionally return the de-normalized [0,255] device
         # image under "image_dev" so on-device open-vocab labeling (CLIP
-        # crops) needs no extra host->device transfer.
-        self.export_image = export_image
+        # crops) needs no extra host->device transfer.  Only meaningful on
+        # the device-output path (the numpy path would just drop it), so it
+        # is not baked into the fused program otherwise.
+        self.export_image = export_image and device_output
         self._fused: Dict[tuple, object] = {}
 
     def _fused_fn(self, square: int, ratio: int):
@@ -95,14 +97,7 @@ class CuTRDetector:
 
     def __call__(self, frame: Frame) -> Dict[str, np.ndarray]:
         image, depth = frame.image, frame.depth
-        h, w = image.shape[:2]
-        square = pick_square_pad(max(h, w), self.preprocessor.buckets)
-        if depth is not None:
-            ratio = round(w / depth.shape[1])
-            if ratio not in (1, 2, 4):
-                raise ValueError(f"Unsupported rgb -> depth ratio: {ratio}")
-        else:
-            ratio = 1
+        square, ratio = resolve_pad_and_ratio(image, depth, self.buckets)
 
         # one transfer batch + one dispatch
         image_u8, depth_f, K_f, Tg_f = jax.device_put(
@@ -118,4 +113,4 @@ class CuTRDetector:
         )
         if self.device_output:
             return det
-        return {k: np.asarray(v) for k, v in det.items() if k != "image_dev"}
+        return {k: np.asarray(v) for k, v in det.items()}

@@ -185,8 +185,15 @@ def _nms_greedy(state: DeviceState, cfg: StepConfig):
     # the threshold.  This bounds the serial while_loop to the overlap graph
     # (~the new detections and their neighbours) instead of the whole world
     # set -- the dominant device cost at high detection loads.
-    pair_on = (state.iou > cfg.nms_threshold) & slot_valid[None, :]
-    contested = slot_valid & jnp.any(pair_on, axis=1)
+    # The cache may be ASYMMETRIC when max_gated_pairs truncation drops one
+    # direction of a pair (_gated_iou_rows), so a box counts as contested if
+    # its row OR its column has any above-threshold entry.
+    pair_on = (
+        (state.iou > cfg.nms_threshold)
+        & slot_valid[None, :]
+        & slot_valid[:, None]
+    )
+    contested = jnp.any(pair_on, axis=1) | jnp.any(pair_on, axis=0)
     isolated = slot_valid & ~contested
 
     def outer_cond(c):
@@ -699,12 +706,11 @@ def _keyframe_step_impl(
     return jax.lax.cond(k_new > 0, with_news, no_news, state)
 
 
-# NOTE: the state is deliberately NOT donated.  On the tunneled axon
-# backend, donating an input of a long-running (~ms) executable poisons the
-# process-wide dispatch path (tiny-op latency 0.03 -> ~2 ms, device_put
-# 0.7 -> 44 ms; bisected in tools/profile_degrade4.py) -- a ~40 ms/keyframe
-# tax on everything that follows.  The un-donated state copy is ~1 MB and
-# costs microseconds.
+# NOTE: the state is deliberately NOT donated.  Donation buys nothing on
+# the tunneled axon backend (it was an early suspect in the dispatch-
+# degradation bisect of docs/TUNNEL_PERF_NOTES.md, later exonerated), the
+# un-donated copies cost microseconds, and an un-consumed state enables
+# replay/debug reuse of a snapshot across steps.
 @partial(jax.jit, static_argnames=("cfg",))
 def keyframe_step(
     state: DeviceState,

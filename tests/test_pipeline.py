@@ -144,15 +144,21 @@ def test_cutr_detector_fused_matches_two_step():
     det = CuTRDetector(model, params, device_output=True, export_image=True)
     got = det(frame)
     assert all(isinstance(v, jax.Array) for v in got.values())
+    # same math, but fused vs two-step are different XLA programs; allow
+    # last-ulp rounding drift from different fusion choices
     for k in ("scores", "pred_boxes", "boxes3d", "R", "proj_xy"):
-        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k][0]), err_msg=k)
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k][0]), rtol=1e-6, atol=1e-4, err_msg=k
+        )
 
     # image_dev round-trips the u8 pixels inside the actual (h, w) region
     img = np.asarray(got["image_dev"])[:H, :W]
     np.testing.assert_allclose(img, image.astype(np.float32), atol=1e-3)
 
-    # numpy path drops image_dev and matches too
-    det_np = CuTRDetector(model, params)
+    # numpy path never exports the image (export_image requires device_output)
+    det_np = CuTRDetector(model, params, export_image=True)
     got_np = det_np(frame)
     assert "image_dev" not in got_np
-    np.testing.assert_array_equal(got_np["scores"], np.asarray(want["scores"][0]))
+    np.testing.assert_allclose(
+        got_np["scores"], np.asarray(want["scores"][0]), rtol=1e-6, atol=1e-5
+    )

@@ -142,19 +142,25 @@ def _assert_detection_set_parity(got, want, atols):
 
     n = len(want["scores"])
     assert len(got["scores"]) == n
-    cost = np.zeros((n, n))
+    # Feasibility first: a pair is matchable iff EVERY field is within its
+    # atol.  (A min-total-cost assignment alone could prefer an infeasible
+    # matching whose summed distances are lower than a feasible one's.)
+    feasible = np.ones((n, n), bool)
+    dist = np.zeros((n, n))
     for k, atol in atols.items():
         g = np.asarray(got[k], np.float64).reshape(n, -1)
         w = np.asarray(want[k], np.float64).reshape(n, -1)
         d = np.abs(g[:, None] - w[None]).max(-1)
-        # normalize so "within atol" is cost <= 1 per field; exact-match
-        # fields get a hard step penalty.
-        cost += d / atol if atol > 0 else 1e6 * (d > 0)
-    rows, cols = linear_sum_assignment(cost)
-    for k, atol in atols.items():
-        g = np.asarray(got[k], np.float64).reshape(n, -1)[rows]
-        w = np.asarray(want[k], np.float64).reshape(n, -1)[cols]
-        np.testing.assert_allclose(g, w, atol=max(atol, 0), err_msg=f"field {k}")
+        feasible &= d <= atol
+        dist += d / atol if atol > 0 else d
+    # prefer feasible pairs (tie-broken by distance); a perfect feasible
+    # matching exists iff the optimal assignment uses no 1e6 edges.
+    rows, cols = linear_sum_assignment(np.where(feasible, dist, 1e6))
+    bad = ~feasible[rows, cols]
+    assert not bad.any(), (
+        f"{bad.sum()}/{n} detections have no within-tolerance counterpart; "
+        f"first bad got-row index: {rows[bad][0] if bad.any() else None}"
+    )
 
 
 def test_activation_parity_end_to_end(parity_setup):
