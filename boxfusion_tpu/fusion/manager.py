@@ -47,7 +47,12 @@ class BoxManager:
         return list(idx_list) in self.already_fusion
 
     def update(self, keep_idx) -> None:
+        # The reference reindexes only fusion_list here (box_manager.py:
+        # 131-133), leaving fusion_flag addressed by STALE indices after any
+        # removal; both engines here compact the flag with the world set
+        # (device: _compact's fflag gather) -- a documented deviation.
         self.fusion_list = [self.fusion_list[int(i)] for i in keep_idx]
+        self.fusion_flag = [self.fusion_flag[int(i)] for i in keep_idx]
 
     def update_fusion_flag(self, idx: int) -> None:
         self.fusion_flag[idx] = 1
@@ -153,6 +158,7 @@ class BoxManager:
         zero = (valid_num == 0) & (frame_ids < (count - gap))
         keep = np.arange(len(frame_ids))[~zero]
         self.fusion_list = [self.fusion_list[int(i)] for i in keep]
+        self.fusion_flag = [self.fusion_flag[int(i)] for i in keep]
         return keep
 
     # -- detection-stage filters (box_manager.py:217-245) ---------------------

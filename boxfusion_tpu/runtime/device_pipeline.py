@@ -68,6 +68,7 @@ class DevicePipeline:
 
     def __init__(self, cfg, detector: Callable, labeler: Optional[Callable] = None,
                  capacity: int = 512):
+        import dataclasses
         from concurrent.futures import ThreadPoolExecutor
 
         from boxfusion_tpu.utils.cache import enable_compilation_cache
@@ -78,6 +79,14 @@ class DevicePipeline:
         self.labeler = labeler
         self.class_list = None
         self.step_cfg = step_config_from(cfg)
+        if labeler is not None:
+            # The reference filters RAW scores before CLIP labeling and keeps
+            # the boosted scores afterwards even if the (possibly negative)
+            # boost drops them under the threshold (demo.py:138-148 then
+            # 161-171).  With a labeler, process_keyframe applies the raw
+            # filter itself (scores -> -1e9), so the device step's score
+            # filter must not re-test the boosted values.
+            self.step_cfg = dataclasses.replace(self.step_cfg, score_thresh=-1e8)
         self.state = init_state(
             capacity=capacity,
             max_views=int(cfg["association"]["max_views"]),
@@ -95,16 +104,40 @@ class DevicePipeline:
         # worker; readers must call flush() first.
         self._executor = ThreadPoolExecutor(max_workers=1)
         self._last = None
+        self._worker_error = None
 
     def _device_step(self, buf: np.ndarray) -> None:
-        self.state = keyframe_step_packed(
-            self.state, jax.device_put(buf), self.pst, self.step_cfg
-        )
+        try:
+            self.state = keyframe_step_packed(
+                self.state, jax.device_put(buf), self.pst, self.step_cfg
+            )
+        except BaseException as e:  # surfaced on the next submit/flush
+            self._worker_error = e
+            raise
 
     def _device_step_dev(self, det: dict, meta: np.ndarray, kmax: int) -> None:
-        self.state = keyframe_step_devdet(
-            self.state, det, jax.device_put(meta), self.pst, self.step_cfg, kmax
-        )
+        try:
+            self.state = keyframe_step_devdet(
+                self.state, det, jax.device_put(meta), self.pst, self.step_cfg, kmax
+            )
+        except BaseException as e:
+            self._worker_error = e
+            raise
+
+    def _raise_worker_error(self) -> None:
+        if self._worker_error is not None:
+            err, self._worker_error = self._worker_error, None
+            raise RuntimeError("device keyframe step failed in the worker") from err
+
+    def _pack_meta(self, frame, count: int) -> np.ndarray:
+        h, w = frame.image.shape[:2]
+        meta = np.empty(META_WIDTH, np.float32)
+        meta[:16] = np.asarray(frame.gt_pose, np.float32).ravel()
+        meta[16:25] = np.asarray(frame.K, np.float32).ravel()
+        meta[25:34] = np.asarray(frame.K_depth, np.float32).ravel()
+        meta[34:36] = (float(h), float(w))
+        meta[36] = float(count)
+        return meta
 
     def flush(self) -> None:
         """Wait for all enqueued keyframe steps to be dispatched (re-raising
@@ -112,8 +145,10 @@ class DevicePipeline:
         if self._last is not None:
             self._last.result()
             self._last = None
+        self._raise_worker_error()
 
     def process_keyframe(self, frame) -> None:
+        self._raise_worker_error()
         det = self.detector(frame)
         image_dev = det.pop("image_dev", None)
         det = {
@@ -140,24 +175,26 @@ class DevicePipeline:
                 if self.class_list is None:
                     self.class_list = list(self.labeler.class_list) + [""]
                 h0, w0 = frame.image.shape[:2]
+                # raw-score filter BEFORE labeling (demo.py:138-148): masked
+                # rows score -1e9, never enter the label budget, and stay
+                # dropped by the step (whose score filter is bypassed, see
+                # __init__).
+                import jax.numpy as _jnp
+
+                raw_ok = det["scores"] >= float(self.cfg["detection"]["score_thresh"])
+                masked = _jnp.where(raw_ok, det["scores"], -1e9)
                 new_scores, categories, _ = self.labeler.label_boost_device(
                     image_dev,
                     det["pred_boxes"],
-                    det["scores"],
+                    masked,
                     (h0, w0),
                     float(self.cfg["detection"]["scale_box"]),
                     float(self.cfg["box_fusion"]["clip_sim_coeff"]),
                     budget=int(self.cfg["detection"]["max_label_boxes"]),
                 )
-                det["scores"] = new_scores
+                det["scores"] = _jnp.where(raw_ok, new_scores, -1e9)
                 det["category"] = categories
-            h, w = frame.image.shape[:2]
-            meta = np.empty(META_WIDTH, np.float32)
-            meta[:16] = np.asarray(frame.gt_pose, np.float32).ravel()
-            meta[16:25] = np.asarray(frame.K, np.float32).ravel()
-            meta[25:34] = np.asarray(frame.K_depth, np.float32).ravel()
-            meta[34:36] = (float(h), float(w))
-            meta[36] = float(self.count)
+            meta = self._pack_meta(frame, self.count)
             kmax = int(self.cfg["detection"]["max_detections"])
             self._last = self._executor.submit(
                 self._device_step_dev, det, meta, kmax
@@ -184,11 +221,15 @@ class DevicePipeline:
                 [self.class_list.index(c) if c in self.class_list else 0 for c in categories],
                 np.int32,
             )
+            # raw-score filter BEFORE the boost (demo.py:138-148 then 161-171)
+            raw_ok = det["scores"] >= float(self.cfg["detection"]["score_thresh"])
             det["scores"] = det["scores"] + (
                 float(self.cfg["box_fusion"]["clip_sim_coeff"]) * np.asarray(sims) / 100.0
             ).astype(np.float32)
             background = np.asarray([c == "" for c in categories])
-            det["scores"] = np.where(background, -1e9, det["scores"]).astype(np.float32)
+            det["scores"] = np.where(
+                background | ~raw_ok, -1e9, det["scores"]
+            ).astype(np.float32)
             det["category"] = cat_idx
         # pack into the 2-array transfer format (device_step.py: the tunneled
         # chip pays per-device_put latency, so ship exactly two host arrays).
@@ -210,12 +251,7 @@ class DevicePipeline:
         if "category" in det:
             packed[:n, 22] = det["category"][:n]
 
-        h, w = frame.image.shape[:2]
-        meta[:16] = np.asarray(frame.gt_pose, np.float32).ravel()
-        meta[16:25] = np.asarray(frame.K, np.float32).ravel()
-        meta[25:34] = np.asarray(frame.K_depth, np.float32).ravel()
-        meta[34:36] = (float(h), float(w))
-        meta[36] = float(self.count)
+        meta[:] = self._pack_meta(frame, self.count)
         self._last = self._executor.submit(self._device_step, buf)
 
     def save_state(self, path: str) -> None:

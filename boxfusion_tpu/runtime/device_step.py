@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from boxfusion_tpu.fusion.optimizer import PSTOptConfig, init_opt_params, optimize_boxes
 from boxfusion_tpu.geometry.boxes import box_corners
-from boxfusion_tpu.geometry.iou import obb_grid_iou_pairs, obb_intersect_mask
+from boxfusion_tpu.geometry.iou import iou_2d, obb_grid_iou_pairs, obb_intersect_mask
 from boxfusion_tpu.geometry.projection import (
     project_boxes_to_2d,
     project_corners_to_image,
@@ -244,15 +244,7 @@ def _nms_greedy(state: DeviceState, cfg: StepConfig):
 # correspondence pass (instances.py:411-490, box_manager.py:90-129)
 # ---------------------------------------------------------------------------
 
-def _iou2d_one_vs_rows(box, rows):
-    area_a = (box[2] - box[0]) * (box[3] - box[1])
-    area_b = (rows[:, 2] - rows[:, 0]) * (rows[:, 3] - rows[:, 1])
-    x1 = jnp.maximum(box[0], rows[:, 0])
-    y1 = jnp.maximum(box[1], rows[:, 1])
-    x2 = jnp.minimum(box[2], rows[:, 2])
-    y2 = jnp.minimum(box[3], rows[:, 3])
-    inter = jnp.maximum(0.0, x2 - x1) * jnp.maximum(0.0, y2 - y1)
-    return inter / (area_a + area_b - inter + 1e-6)
+_iou2d_one_vs_rows = iou_2d  # one xyxy box vs N rows (geometry/iou.py:34)
 
 
 def _record_corr_one(state: DeviceState, keep, cur, other, cfg: StepConfig):
@@ -685,14 +677,20 @@ def _keyframe_step_impl(
 
             if cfg.check_valid:
                 # drop boxes never re-observed within one keyframe gap
-                # (box_manager.py:151-166; gated by box_fusion.check_valid)
-                alive = jnp.arange(G) < state.n
-                stale = (
-                    alive
-                    & (state.valid_num == 0)
-                    & (state.frame_id < frame_idx - cfg.gap)
-                )
-                state = _compact(state, alive & ~stale)
+                # (box_manager.py:151-166; gated by box_fusion.check_valid).
+                # The reference runs this only when a new box survived NMS
+                # (demo.py:270-298 `if len(cur_keep_idx) > 0`), like the
+                # correspondence/fusion stages.
+                def drop_stale(state):
+                    alive = jnp.arange(G) < state.n
+                    stale = (
+                        alive
+                        & (state.valid_num == 0)
+                        & (state.frame_id < frame_idx - cfg.gap)
+                    )
+                    return _compact(state, alive & ~stale)
+
+                state = jax.lax.cond(any_new_kept, drop_stale, lambda s: s, state)
 
             if cfg.fusion_use:
                 def fuse(state):

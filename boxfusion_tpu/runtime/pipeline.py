@@ -286,7 +286,7 @@ class OnlinePipeline:
             arr["init_id"],
             self.obs.cam_pose,
             arr["xyzlhw"][:, 3:],
-            _corners_np(arr["xyzlhw"], arr["R"]).mean(axis=1),
+            arr["xyzlhw"][:, :3],  # corner mean == center (symmetric template)
             iou_threshold=float(cfg["box_fusion"]["nms_threshold"]),
         )
 
@@ -397,8 +397,11 @@ class OnlinePipeline:
         changed = []
         for a, i in enumerate(cand):
             if updated[a]:
+                # only the xyzlhw tensor moves; the box keeps its own R even
+                # though the optimizer ran under the best member's init_R
+                # (reference box_fusion.py:716-724 writes .tensor[i] only) --
+                # matches the device engine's write-back (_fuse_device).
                 self.world.arrays["xyzlhw"][i] = fused[a]
-                self.world.arrays["R"][i] = init_R[a]
                 self.manager.update_fusion_flag(i)
                 self.manager.add_fusion_ind(self.manager.fusion_list[i])
                 changed.append(i)

@@ -352,3 +352,67 @@ def test_device_labeling_background_dropped():
     dev = DevicePipeline(cfg, DeviceOracle(), labeler=labeler, capacity=64)
     world = dev.run(seq, gap=5)
     assert len(world["scores"]) == 0
+
+
+def test_device_matches_host_pipeline_noisy_fusion():
+    """Host and device engines stay aligned THROUGH fusion (noisy oracle).
+
+    Fusion must move xyzlhw while each box keeps its OWN R (reference
+    box_fusion.py:716-724 writes .tensor[i] only), and the fused flags must
+    agree after compaction on both engines.
+    """
+    cfg = _cfg()
+    seq = SyntheticSequence(n_frames=40, n_boxes=4, seed=3)
+    host = OnlinePipeline(cfg, OracleDetector(seq, noise=0.04, seed=7))
+    host_world = host.run(seq, gap=5)
+    dev = DevicePipeline(cfg, OracleDetector(seq, noise=0.04, seed=7), capacity=64)
+    dev_world = dev.run(seq, gap=5)
+
+    assert len(dev_world["scores"]) == len(host_world)
+    np.testing.assert_array_equal(
+        np.sort(dev_world["init_id"]), np.sort(host_world.arrays["init_id"])
+    )
+    order_d = np.argsort(dev_world["init_id"])
+    order_h = np.argsort(host_world.arrays["init_id"])
+    np.testing.assert_allclose(
+        dev_world["xyzlhw"][order_d],
+        host_world.arrays["xyzlhw"][order_h],
+        atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        dev_world["R"][order_d], host_world.arrays["R"][order_h], atol=1e-5
+    )
+    assert dev_world["fusion_flag"].any()
+    np.testing.assert_array_equal(
+        dev_world["fusion_flag"][order_d].astype(bool),
+        np.asarray(host.manager.fusion_flag, bool)[order_h],
+    )
+
+
+def test_worker_error_propagates_mid_run(monkeypatch):
+    """A keyframe-step failure in the worker thread must surface on a LATER
+    call, not be silently swallowed when it isn't the last submitted step."""
+    import time as _time
+
+    import boxfusion_tpu.runtime.device_pipeline as dp
+
+    cfg = _cfg()
+    seq = SyntheticSequence(n_frames=10, n_boxes=3, seed=0)
+    frames = list(seq)
+    pipe = dp.DevicePipeline(cfg, OracleDetector(seq), capacity=64)
+
+    real = dp.keyframe_step_packed
+
+    def boom(*a, **k):
+        raise ValueError("injected step failure")
+
+    monkeypatch.setattr(dp, "keyframe_step_packed", boom)
+    pipe.process_keyframe(frames[0])          # fails inside the worker
+    for _ in range(100):                      # let the worker run
+        if pipe._worker_error is not None:
+            break
+        _time.sleep(0.05)
+    monkeypatch.setattr(dp, "keyframe_step_packed", real)
+
+    with pytest.raises(RuntimeError, match="worker"):
+        pipe.process_keyframe(frames[5])      # surfaced here, not lost

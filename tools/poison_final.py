@@ -210,3 +210,35 @@ elif which == "second_array":
             r = jax.device_put(arr)
         jax.block_until_ready(r)
         print(f"  put {nm}: {(time.perf_counter()-t0)/15*1000:7.2f} ms", flush=True)
+
+elif which == "fori_nms":
+    # the poisoning NMS replica body, but as a STATIC-trip fori_loop
+    G = 512
+    _NEG2 = jnp.float32(-1e30)
+    iou = jnp.asarray((np.random.rand(G, G) * 0.3).astype(np.float32))
+    scores0 = jnp.asarray(np.random.rand(G).astype(np.float32))
+
+    @jax.jit
+    def loop(scores, n):
+        def body(t, c):
+            (remaining, keep, success, valid_num) = c
+            s = jnp.where(remaining, scores, _NEG2)
+            m = jnp.max(s)
+            i = jnp.argmax(jnp.where(s == m, jnp.arange(G) + 1, 0))
+            alive = remaining[i]
+            keep = keep.at[i].set(keep[i] | alive)
+            remaining = remaining.at[i].set(False)
+            ious = iou[i] * remaining
+            supp = remaining & (ious > 0.1) & alive
+            remaining = remaining & ~supp
+            any_supp = jnp.any(supp)
+            valid_num = valid_num.at[i].add(jnp.where(any_supp, 1.0, 0.0))
+            success = success.at[i].set(success[i] | any_supp)
+            return (remaining, keep, success, valid_num)
+
+        c = (jnp.arange(G) < n, jnp.zeros(G, bool), jnp.zeros(G, bool), jnp.zeros(G))
+        return jax.lax.fori_loop(0, G, body, c)
+
+    out = loop(scores0, jnp.int32(400))
+    jax.block_until_ready(out[0])
+    print(f"fori_nms: {put_ms():.2f} ms", flush=True)
