@@ -201,7 +201,11 @@ class ScannetDataset(_PosedSequence):
             else:
                 c2w = last_valid  # inf-pose fallback (capture_stream.py:170-174)
             poses.append(c2w)
-        return poses
+        # leading inf poses (tracking lost at sequence start) have no "last
+        # valid" to fall back to: backfill them with the FIRST valid pose so
+        # iteration never yields None (identity if the whole sequence is inf).
+        first_valid = next((p for p in poses if p is not None), np.eye(4))
+        return [p if p is not None else first_valid for p in poses]
 
     def __len__(self):
         return len(self.img_files)
@@ -215,14 +219,19 @@ class ScannetDataset(_PosedSequence):
             image = _resize_rgb(image, (depth.shape[1], depth.shape[0]))
             image = _resize_rgb(image, self.size)
             depth = _resize_depth(depth, self.size)
-            K = self.K
+            K = K_depth = self.K
             if max(self.size) > MAX_LONG_SIDE:
+                # cap the long side (capture_stream.py:116,255-260); depth and
+                # its intrinsics must track the color resize or the square-pad
+                # bucketing sees inconsistent resolutions.
                 s = MAX_LONG_SIDE / max(self.size)
                 new = (int(self.size[0] * s), int(self.size[1] * s))
                 image = _resize_rgb(image, new)
+                depth = _resize_depth(depth, new)
                 K = _scale_K(K, new[0] / self.size[0], new[1] / self.size[1])
+                K_depth = K
             yield self._finalize(
-                image, depth, K, self.K, self.poses[i], self.video_id, i
+                image, depth, K, K_depth, self.poses[i], self.video_id, i
             )
 
 

@@ -34,7 +34,9 @@ def main(argv=None) -> int:
     cfg = load_config(args.config)
 
     if args.seq_list:
-        seq_ids = [s for s in np.genfromtxt(args.seq_list, dtype=str).tolist()]
+        from boxfusion_tpu.utils.config import read_lines
+
+        seq_ids = read_lines(args.seq_list)
     else:
         seq_ids = sorted(
             d for d in os.listdir(args.data_root)
@@ -46,24 +48,34 @@ def main(argv=None) -> int:
 
     def make_seq(seq_id):
         c = load_config(args.config)
-        c["data"]._data["datadir"] = os.path.join(args.data_root, str(seq_id))
+        c["data"]["datadir"] = os.path.join(args.data_root, str(seq_id))
         ds = get_dataset(c)
         ds.video_id = str(seq_id)
         return ds
 
     from types import SimpleNamespace
 
+    import jax
+    import numpy as np
+
     from boxfusion_tpu.cli import _build_cutr_detector
+    from boxfusion_tpu.runtime.detector import CuTRDetector
 
     det_args = SimpleNamespace(
         model_path=args.model_path, dimension=args.dimension
     )
-    detector = _build_cutr_detector(det_args, cfg, device_output=True)
+    det0 = _build_cutr_detector(det_args, cfg, device_output=True)
+    # keep the weights host-side so each sequence's detector places them on
+    # the runner's round-robin device (committed device arrays would pin all
+    # compute to the device the checkpoint was loaded on).
+    params_host = jax.tree_util.tree_map(np.asarray, det0.params)
 
     out = evaluate_sequences(
         cfg,
-        [make_seq(s) for s in seq_ids],
-        detector_factory=lambda seq: detector,
+        (make_seq(s) for s in seq_ids),  # lazy: one dataset at a time
+        detector_factory=lambda seq: CuTRDetector(
+            det0.model, params_host, device_output=True
+        ),
         output_dir=args.output_dir,
         capacity=args.capacity,
     )

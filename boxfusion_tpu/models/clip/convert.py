@@ -38,7 +38,13 @@ def _resblock(sd, prefix):
     }
 
 
-def infer_config(sd: Dict) -> CLIPConfig:
+# open_clip vision-tower head counts by width: head_dim is 64 for B/L but
+# grows for the larger towers (H: 80, g: 88, bigG: 104), so width alone
+# cannot be divided by a fixed head size.
+_VISION_HEADS = {768: 12, 1024: 16, 1280: 16, 1408: 16, 1664: 16}
+
+
+def infer_config(sd: Dict, quick_gelu: bool | None = None) -> CLIPConfig:
     width = sd["visual.conv1.weight"].shape[0]
     patch = sd["visual.conv1.weight"].shape[-1]
     layers = max(
@@ -53,17 +59,23 @@ def infer_config(sd: Dict) -> CLIPConfig:
         patch=int(patch),
         width=int(width),
         layers=int(layers),
-        heads=int(width) // 80 if width % 64 else int(width) // 64,
+        heads=_VISION_HEADS.get(int(width), int(width) // 64),
         embed_dim=int(embed_dim),
         text_width=int(text_width),
         text_layers=int(text_layers),
         text_heads=int(text_width) // 64,
-        quick_gelu=bool(width == 1024 and embed_dim == 768),  # OpenAI ViT-L/14
+        # The activation is NOT recoverable from tensor shapes: OpenAI L/14
+        # uses QuickGELU while laion open_clip L/14 (identical shapes) uses
+        # exact GELU.  Callers that know the checkpoint's provenance should
+        # pass quick_gelu explicitly; the shape heuristic is only a default.
+        quick_gelu=bool(width == 1024 and embed_dim == 768)
+        if quick_gelu is None
+        else bool(quick_gelu),
     )
 
 
-def convert_image_tower(sd: Dict) -> Tuple[Dict, CLIPConfig]:
-    cfg = infer_config(sd)
+def convert_image_tower(sd: Dict, quick_gelu: bool | None = None) -> Tuple[Dict, CLIPConfig]:
+    cfg = infer_config(sd, quick_gelu)
     p = {
         "conv1": {"kernel": _t(sd["visual.conv1.weight"]).transpose(2, 3, 1, 0)},
         "class_embedding": _t(sd["visual.class_embedding"]),
@@ -77,8 +89,8 @@ def convert_image_tower(sd: Dict) -> Tuple[Dict, CLIPConfig]:
     return {"params": p}, cfg
 
 
-def convert_text_tower(sd: Dict) -> Tuple[Dict, CLIPConfig]:
-    cfg = infer_config(sd)
+def convert_text_tower(sd: Dict, quick_gelu: bool | None = None) -> Tuple[Dict, CLIPConfig]:
+    cfg = infer_config(sd, quick_gelu)
     p = {
         "token_embedding": {"embedding": _t(sd["token_embedding.weight"])},
         "positional_embedding": _t(sd["positional_embedding"]),

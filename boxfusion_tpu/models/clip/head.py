@@ -217,7 +217,9 @@ def build_labeler(
     sim_thres: float = 0.0,
 ) -> OpenVocabLabeler:
     """Assemble the labeler from the reference's assets (demo.py:458-461)."""
-    class_list = list(np.genfromtxt(class_txt, delimiter="\n", dtype=str))
+    from boxfusion_tpu.utils.config import read_lines
+
+    class_list = read_lines(class_txt)
     tf = load_class_features(class_features)
     labeler = OpenVocabLabeler(class_list, tf, sim_thres=sim_thres)
     if clip_path:

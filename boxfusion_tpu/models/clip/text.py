@@ -147,7 +147,9 @@ def precompute_class_features(
     from boxfusion_tpu.models.clip.convert import load_clip_text_params
     from boxfusion_tpu.models.clip.model import CLIPTextTower
 
-    classes = list(np.genfromtxt(class_txt, delimiter="\n", dtype=str))
+    from boxfusion_tpu.utils.config import read_lines
+
+    classes = read_lines(class_txt)
     tokenizer = SimpleTokenizer(bpe_path)
     tokens = tokenizer(classes)
 

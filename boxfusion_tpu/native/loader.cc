@@ -149,11 +149,31 @@ int bf_decode_png(const uint8_t* buf, size_t len, uint8_t** out, int* w,
 // JPEG decode (memory buffer -> RGB8)
 // ---------------------------------------------------------------------------
 
+// libjpeg's default error_exit calls exit(); route fatal errors through
+// setjmp like the PNG path so a corrupt file returns an error code (and the
+// Python side falls back to PIL) instead of killing the process.
+struct bf_jpeg_err {
+  jpeg_error_mgr pub;
+  jmp_buf jmp;
+};
+
+static void bf_jpeg_error_exit(j_common_ptr cinfo) {
+  bf_jpeg_err* err = reinterpret_cast<bf_jpeg_err*>(cinfo->err);
+  longjmp(err->jmp, 1);
+}
+
 int bf_decode_jpeg(const uint8_t* buf, size_t len, uint8_t** out, int* w,
                    int* h) {
   jpeg_decompress_struct cinfo;
-  jpeg_error_mgr jerr;
-  cinfo.err = jpeg_std_error(&jerr);
+  bf_jpeg_err jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = bf_jpeg_error_exit;
+  uint8_t* pixels = nullptr;
+  if (setjmp(jerr.jmp)) {
+    free(pixels);
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
   jpeg_create_decompress(&cinfo);
   jpeg_mem_src(&cinfo, buf, len);
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
@@ -164,7 +184,7 @@ int bf_decode_jpeg(const uint8_t* buf, size_t len, uint8_t** out, int* w,
   jpeg_start_decompress(&cinfo);
   const int width = cinfo.output_width;
   const int height = cinfo.output_height;
-  uint8_t* pixels = static_cast<uint8_t*>(malloc(size_t(width) * height * 3));
+  pixels = static_cast<uint8_t*>(malloc(size_t(width) * height * 3));
   if (!pixels) {
     jpeg_destroy_decompress(&cinfo);
     return -4;

@@ -166,6 +166,7 @@ class Prefetcher:
         self._it = iter(iterable)
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._done = object()
+        self._error: BaseException | None = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -173,6 +174,8 @@ class Prefetcher:
         try:
             for item in self._it:
                 self._q.put(item)
+        except BaseException as e:  # re-raised in the consumer, not swallowed
+            self._error = e
         finally:
             self._q.put(self._done)
 
@@ -180,5 +183,7 @@ class Prefetcher:
         while True:
             item = self._q.get()
             if item is self._done:
+                if self._error is not None:
+                    raise RuntimeError("prefetch producer failed") from self._error
                 return
             yield item

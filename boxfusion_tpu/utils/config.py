@@ -164,3 +164,14 @@ def load_config(path: Optional[str] = None, overrides: Optional[Dict[str, Any]] 
     if overrides:
         data = _merge(data, overrides)
     return Config(data)
+
+
+def read_lines(path: str) -> list:
+    """Non-empty stripped lines of a text file.
+
+    Replaces np.genfromtxt for id/class lists: genfromtxt returns a 0-d
+    array for single-line files (iterating it yields characters or raises)
+    and silently truncates lines at '#' (its comment char).
+    """
+    with open(path) as f:
+        return [ln.strip() for ln in f if ln.strip()]

@@ -31,6 +31,7 @@ def random_color_v2(t: float):
 
 
 def init_recording(video_id: str):
+    _trajectory.clear()  # fresh polyline per recording (multi-sequence runs)
     if not HAS_RERUN:
         return None
     rec = rerun.new_recording(application_id=str(video_id), make_default=True)

@@ -91,3 +91,44 @@ def test_prefetcher_preserves_order():
     items = list(range(50))
     out = list(Prefetcher(items, depth=4))
     assert out == items
+
+
+def test_corrupt_jpeg_raises_instead_of_exiting():
+    """libjpeg fatal errors must come back as ValueError (setjmp path), not
+    kill the process via the default error_exit."""
+    from boxfusion_tpu.native.loader import get_loader
+
+    nl = get_loader()
+    if nl is None:
+        import pytest
+
+        pytest.skip("native loader unavailable")
+    import pytest
+
+    with pytest.raises(ValueError):
+        nl.decode_jpeg(b"\xff\xd8\xff\xe0garbage-not-a-jpeg")
+
+
+def test_prefetcher_propagates_producer_error():
+    from boxfusion_tpu.native.loader import Prefetcher
+
+    def gen():
+        yield 1
+        raise IOError("decode failed")
+
+    import pytest
+
+    it = iter(Prefetcher(gen()))
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="prefetch producer"):
+        list(it)
+
+
+def test_read_lines_single_line(tmp_path):
+    from boxfusion_tpu.utils.config import read_lines
+
+    p = tmp_path / "one.txt"
+    p.write_text("scene0011_00\n")
+    assert read_lines(str(p)) == ["scene0011_00"]
+    p.write_text("a#b\nc\n\n")  # '#' must not be treated as a comment
+    assert read_lines(str(p)) == ["a#b", "c"]
