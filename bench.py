@@ -100,6 +100,9 @@ def main() -> None:
     # single number
     fps_runs = []
     for _ in range(5):
+        # fresh oracle per run: its RNG is consumed per call, and the runs
+        # must measure an identical detection workload
+        oracle = OracleDetector(seq, noise=0.03, seed=1)
         pipe = DevicePipeline(cfg, BenchDetector(), capacity=256)
         pipe.run(frames, gap=gap)  # blocks on device state before timing ends
         fps_runs.append(pipe.fps)

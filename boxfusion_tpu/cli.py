@@ -54,12 +54,23 @@ def main(argv=None) -> int:
         raise ValueError("Missing config path")
     cfg = load_config(args.config)
 
-    # --seq rewrites the datadir like the reference (demo.py:416-431)
+    # --seq rewrites the datadir like the reference (demo.py:416-431): the
+    # bundled example dir is left alone; otherwise the sequence is a SIBLING
+    # directory of the configured one (robust to a missing trailing slash,
+    # which the reference's double-dirname silently mishandles).
     if args.seq and args.dataset_path.lower() == "ca1m":
         base = cfg["data"]["datadir"]
-        cfg["data"]._data["datadir"] = os.path.join(
-            os.path.dirname(os.path.dirname(base)), args.seq + "/"
-        )
+        if "example" not in base:
+            cfg["data"]["datadir"] = os.path.join(
+                os.path.dirname(base.rstrip("/")), args.seq + "/"
+            )
+
+    # a directory path as the positional argument selects it as the datadir
+    # (dataset kind still comes from the config), per the help string
+    if args.dataset_path.lower() not in ("ca1m", "scannet", "synthetic") and os.path.isdir(
+        args.dataset_path
+    ):
+        cfg["data"]["datadir"] = args.dataset_path
 
     out_dir = cfg["data"]["output_dir"]
     if (
@@ -71,6 +82,11 @@ def main(argv=None) -> int:
         print("Results for boxes already exist, skip evaluation")
         return 0
 
+    wants_label = bool(
+        args.clip_path
+        or (os.path.exists(args.class_features) and os.path.exists(args.class_txt))
+    )
+
     # dataset
     if args.dataset_path.lower() == "synthetic":
         from boxfusion_tpu.data.synthetic import OracleDetector, SyntheticSequence
@@ -80,17 +96,14 @@ def main(argv=None) -> int:
     else:
         from boxfusion_tpu.data import get_dataset
 
-        cfg._data["dataset"] = (
-            "scannet" if args.dataset_path.lower() == "scannet" else "CA1M"
-        )
+        if args.dataset_path.lower() in ("ca1m", "scannet"):
+            cfg._data["dataset"] = (
+                "scannet" if args.dataset_path.lower() == "scannet" else "CA1M"
+            )
         dataset = get_dataset(cfg)
         # device engine keeps detections on the TPU end to end; with
         # open-vocab labeling it also exports the device image so CLIP
         # crops/similarity stay on device (runtime/device_pipeline.py)
-        wants_label = bool(
-            args.clip_path
-            or (os.path.exists(args.class_features) and os.path.exists(args.class_txt))
-        )
         device_output = args.engine == "device"
         detector = _build_cutr_detector(
             args, cfg, device_output=device_output,
@@ -100,10 +113,14 @@ def main(argv=None) -> int:
     if args.every_nth_frame:
         import itertools
 
+        video_id = getattr(dataset, "video_id", None)
         dataset = itertools.islice(iter(dataset), 0, None, args.every_nth_frame)
+        if video_id is not None:
+            # islice drops the dataset attributes; keep the id for viz/save
+            dataset = _NamedIter(dataset, video_id)
 
     labeler = None
-    if args.clip_path or (os.path.exists(args.class_features) and os.path.exists(args.class_txt)):
+    if wants_label:
         try:
             from boxfusion_tpu.models.clip import build_labeler
 
@@ -157,13 +174,26 @@ def main(argv=None) -> int:
         video_id = getattr(dataset, "video_id", "sequence")
         if cfg["eval"]:
             save_world_boxes(world, class_list, out_dir, video_id, cfg["dataset"])
-        save_framewise_boxes(pipe.obs, world.categories, None, class_list, out_dir)
+        save_framewise_boxes(pipe.obs, None, class_list, out_dir)
     return 0
+
+
+class _NamedIter:
+    """Iterator wrapper preserving ``video_id`` through islice and friends."""
+
+    def __init__(self, it, video_id):
+        self._it = it
+        self.video_id = video_id
+
+    def __iter__(self):
+        return iter(self._it)
 
 
 def _load_class_list(path: str):
     if os.path.exists(path):
-        return list(np.genfromtxt(path, delimiter="\n", dtype=str))
+        from boxfusion_tpu.utils.config import read_lines
+
+        return read_lines(path)
     return ["object"]
 
 

@@ -61,8 +61,10 @@ def convert_capture_to_slam(capture_dir: str, target_dir: str) -> Dict[str, int]
     os.makedirs(os.path.join(target_dir, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(target_dir, "depth"), exist_ok=True)
 
+    # numeric ids must sort temporally ('2' < '10'), lexicographic otherwise
     frame_ids = sorted(
-        {n.split(".")[0] for n in os.listdir(capture_dir) if "world" not in n}
+        {n.split(".")[0] for n in os.listdir(capture_dir) if "world" not in n},
+        key=lambda f: (0, int(f)) if f.isdigit() else (1, f),
     )
 
     poses, gravities, k_rgb, k_depth = [], [], [], []
@@ -85,6 +87,11 @@ def convert_capture_to_slam(capture_dir: str, target_dir: str) -> Dict[str, int]
         shutil.copy2(depth_p, os.path.join(target_dir, "depth", f"{count}.png"))
         count += 1
 
+    if not poses:
+        raise ValueError(
+            f"no frames with both rgb and depth found in {capture_dir} "
+            f"({skipped} skipped)"
+        )
     np.save(os.path.join(target_dir, "all_poses.npy"), np.stack(poses))
     np.save(os.path.join(target_dir, "T_gravity.npy"), np.stack(gravities))
     np.savetxt(os.path.join(target_dir, "K_rgb.txt"), np.mean(k_rgb, axis=0))

@@ -113,16 +113,23 @@ class ObservationStore:
         self.R = np.zeros((0, 3, 3), np.float32)
         self.scores = np.zeros((0,), np.float32)
         self.corners2d = np.zeros((0, 8, 2), np.float32)
+        # per-observation open-vocab label, recorded at append time: the
+        # world's category list is compacted on box removal, so indexing it
+        # by observation id would misalign after the first NMS drop.
+        self.categories: list = []
 
     def __len__(self):
         return len(self.scores)
 
-    def append(self, cam_pose, xyzlhw, R, scores, corners2d):
+    def append(self, cam_pose, xyzlhw, R, scores, corners2d, categories=None):
         self.cam_pose = np.concatenate([self.cam_pose, cam_pose], 0)
         self.xyzlhw = np.concatenate([self.xyzlhw, xyzlhw], 0)
         self.R = np.concatenate([self.R, R], 0)
         self.scores = np.concatenate([self.scores, scores], 0)
         self.corners2d = np.concatenate([self.corners2d, corners2d], 0)
+        self.categories += list(categories) if categories is not None else (
+            ["object"] * len(scores)
+        )
 
 
 class OnlinePipeline:
@@ -257,7 +264,7 @@ class OnlinePipeline:
             features=features,
         )
 
-        self.obs.append(cam_pose, xyzlhw_w, R_w, new_rows["scores"], corners2d)
+        self.obs.append(cam_pose, xyzlhw_w, R_w, new_rows["scores"], corners2d, categories)
         self.box_count += n_new
         self.manager.num_record[count] = self.box_count
 

@@ -79,5 +79,5 @@ def make_train_step(
     return train_step, tx
 
 
-def init_train_state(model, params, tx) -> TrainState:
+def init_train_state(params, tx) -> TrainState:
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.int32(0))

@@ -45,13 +45,17 @@ def save_world_boxes(world, class_list: List[str], output_dir: str, video_id: st
     return path
 
 
-def save_framewise_boxes(obs, categories, features, class_list: List[str],
+def save_framewise_boxes(obs, features, class_list: List[str],
                          output_dir: str) -> str:
-    """Persist all per-frame observations (demo.py:382-387)."""
+    """Persist all per-frame observations (demo.py:382-387).
+
+    Classes come from the observation store's own per-row categories --
+    the world's (compacted) category list would misalign after removals."""
     os.makedirs(output_dir, exist_ok=True)
     from boxfusion_tpu.runtime.pipeline import _corners_np
 
     corners = _corners_np(obs.xyzlhw, obs.R)
+    categories = getattr(obs, "categories", [])
     idx = [class_list.index(c) if c in class_list else 0 for c in categories]
     feats = features if features is not None else [1.0] * len(corners)
     save_list = [[(idx[n] if n < len(idx) else 0, corners[n],

@@ -66,7 +66,7 @@ def test_train_step_reduces_loss():
         mask=jnp.ones((1, G)),
     )
     train_step, tx = make_train_step(model, learning_rate=1e-4)
-    state = init_train_state(model, params, tx)
+    state = init_train_state(params, tx)
     step = jax.jit(train_step)
     state, m0 = step(state, batch, targets)
     for _ in range(4):
