@@ -141,8 +141,9 @@ def _clipped_boundary_integral(hull: jnp.ndarray, planes, tol_sign: float) -> jn
     p = hull
     e = jnp.roll(hull, -1, axis=0) - hull  # (8, 2)
 
-    sp = p @ n.T + d[None]  # (8, 28) signed distance at edge start
-    se = e @ n.T  # (8, 28) change along edge
+    hi = jax.lax.Precision.HIGHEST  # clip geometry: bf16 MXU flips edge tests
+    sp = jnp.matmul(p, n.T, precision=hi) + d[None]  # (8, 28) signed distance at edge start
+    se = jnp.matmul(e, n.T, precision=hi)  # (8, 28) change along edge
     sq = sp + se
 
     tol = (2e-5 * jnp.max(jnp.abs(sp), axis=0, keepdims=True) + 1e-9) * (-tol_sign)
@@ -274,13 +275,17 @@ def multiview_fitness(
     signs = jnp.asarray(CORNER_SIGNS, cand.dtype)  # (8, 3)
     half = cand[:, 3:] * 0.5  # (P, 3) = (l, h, w)/2
     local = signs[None] * half[:, None, :]  # (P, 8, 3)
-    corners = jnp.einsum("ij,pkj->pki", R, local) + cand[:, None, :3]  # (P, 8, 3)
+    corners = jnp.einsum(
+        "ij,pkj->pki", R, local, precision=jax.lax.Precision.HIGHEST
+    ) + cand[:, None, :3]  # (P, 8, 3)
 
     # project into every view: world -> cam via pose^-1 (box_fusion.py:347-354).
     rot = cam_poses[:, :3, :3]  # (V, 3, 3)
     t = cam_poses[:, :3, 3]  # (V, 3)
     rel = corners[None] - t[:, None, None]  # (V, P, 8, 3)
-    cam = jnp.einsum("vji,vpkj->vpki", rot, rel)
+    cam = jnp.einsum(
+        "vji,vpkj->vpki", rot, rel, precision=jax.lax.Precision.HIGHEST
+    )
     # guard z ~ 0 (e.g. padded view slots) against NaN; clamping bounds the
     # result exactly like the reference's uv clamp (box_fusion.py:359-360).
     z = cam[..., 2]

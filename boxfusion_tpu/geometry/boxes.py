@@ -23,6 +23,7 @@ Z: -w/2 at {0,1,2,3}, +w/2 at {4,5,6,7}
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,7 +59,11 @@ def box_corners(xyzlhw: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
     half = xyzlhw[..., 3:6] * 0.5  # (l/2, h/2, w/2) on local (X, Y, Z)
     signs = jnp.asarray(CORNER_SIGNS, dtype=xyzlhw.dtype)
     local = signs * half[..., None, :]  # (..., 8, 3)
-    world = jnp.einsum("...ij,...kj->...ki", R, local) + center[..., None, :]
+    # coordinate math: full f32 (TPU matmuls default to bf16 on the MXU,
+    # which costs ~mm-scale corner error and flips IoU-gate decisions)
+    world = jnp.einsum(
+        "...ij,...kj->...ki", R, local, precision=jax.lax.Precision.HIGHEST
+    ) + center[..., None, :]
     return world
 
 
@@ -76,9 +81,11 @@ def boxes_to_world(xyzlhw: jnp.ndarray, R: jnp.ndarray, cam_pose: jnp.ndarray):
     """
     rp = cam_pose[..., :3, :3]
     tp = cam_pose[..., :3, 3]
-    center = jnp.einsum("...ij,...j->...i", rp, xyzlhw[..., :3]) + tp
+    center = jnp.einsum(
+        "...ij,...j->...i", rp, xyzlhw[..., :3], precision=jax.lax.Precision.HIGHEST
+    ) + tp
     new_xyzlhw = jnp.concatenate([center, xyzlhw[..., 3:]], axis=-1)
-    new_R = rp @ R
+    new_R = jnp.matmul(rp, R, precision=jax.lax.Precision.HIGHEST)
     return new_xyzlhw, new_R
 
 

@@ -68,8 +68,13 @@ def _box_frame(corners: jnp.ndarray):
 def _points_in_box(points, center, units, half, eps=1e-6):
     """Whether each point lies inside the oriented box (all |proj| <= half+eps)."""
     rel = points - center[..., None, :]
-    # project onto the 3 unit axes: (..., P, 3)
-    proj = jnp.einsum("...pj,...aj->...pa", rel, units)
+    # project onto the 3 unit axes: (..., P, 3).  HIGHEST precision: TPU
+    # matmuls default to bf16 on the MXU, which flips corner-on-face
+    # containment tests (a point exactly on a face projects past half+eps)
+    # and with them every downstream NMS decision.
+    proj = jnp.einsum(
+        "...pj,...aj->...pa", rel, units, precision=jax.lax.Precision.HIGHEST
+    )
     return jnp.all(jnp.abs(proj) <= half[..., None, :] + eps, axis=-1)
 
 

@@ -9,6 +9,7 @@ Parity targets:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -24,8 +25,15 @@ def world_to_camera(points: jnp.ndarray, cam_pose: jnp.ndarray) -> jnp.ndarray:
     """
     rp = cam_pose[..., :3, :3]
     tp = cam_pose[..., :3, 3]
-    # inverse of [R|t] is [R^T | -R^T t]; apply R^T (p - t).
-    return jnp.einsum("...ji,...pj->...pi", rp, points - tp[..., None, :])
+    # inverse of [R|t] is [R^T | -R^T t]; apply R^T (p - t).  HIGHEST: TPU
+    # matmuls default to bf16, far below the sub-pixel accuracy the
+    # association geometry needs.
+    return jnp.einsum(
+        "...ji,...pj->...pi",
+        rp,
+        points - tp[..., None, :],
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def project_points(points_cam: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
@@ -137,8 +145,9 @@ def unproject_depth(depth: jnp.ndarray, K: jnp.ndarray, RT: jnp.ndarray, max_dep
     uvd = jnp.stack([gx * depth, gy * depth, depth, jnp.ones_like(depth)], axis=-1)
 
     K4 = jnp.eye(4, dtype=depth.dtype).at[:3, :3].set(K)
-    cam = jnp.einsum("ij,hwj->hwi", jnp.linalg.inv(K4), uvd)
-    world = jnp.einsum("ij,hwj->hwi", RT, cam)
+    hi = jax.lax.Precision.HIGHEST
+    cam = jnp.einsum("ij,hwj->hwi", jnp.linalg.inv(K4), uvd, precision=hi)
+    world = jnp.einsum("ij,hwj->hwi", RT, cam, precision=hi)
 
     valid = depth > 0
     if max_depth is not None:

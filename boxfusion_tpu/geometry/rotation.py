@@ -6,6 +6,7 @@ Behavioral parity targets in the reference:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -54,7 +55,8 @@ def euler_angles_to_matrix(euler_angles: jnp.ndarray, convention: str) -> jnp.nd
         axis_angle_rotation(c, euler_angles[..., i])
         for i, c in enumerate(convention)
     ]
-    return mats[0] @ mats[1] @ mats[2]
+    hi = jax.lax.Precision.HIGHEST  # 3x3 coordinate math: full f32 on TPU
+    return jnp.matmul(jnp.matmul(mats[0], mats[1], precision=hi), mats[2], precision=hi)
 
 
 def rotation_3d_in_axis(points: jnp.ndarray, angles: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
@@ -100,4 +102,6 @@ def rotation_3d_in_axis(points: jnp.ndarray, angles: jnp.ndarray, axis: int = 0)
 
     # rot_mat_T[j, k, n]: same layout as the reference's stacked tensor.
     rot_mat_t = jnp.stack([jnp.stack(r, axis=0) for r in rows], axis=0)
-    return jnp.einsum("nmj,jkn->nmk", points, rot_mat_t)
+    return jnp.einsum(
+        "nmj,jkn->nmk", points, rot_mat_t, precision=jax.lax.Precision.HIGHEST
+    )

@@ -348,11 +348,13 @@ class CubifyTransformer(nn.Module):
             desc = pred_b["object_desc"][box_idx].astype(jnp.float32)
             sel_logits = logits[box_idx]
 
-            # backproject through K^-1 (985-988).
+            # backproject through K^-1 (985-988).  Coordinate math: full f32
+            # even on TPU (bf16 MXU would cost ~cm-scale xyz error).
+            hi = jax.lax.Precision.HIGHEST
             uvz = jnp.concatenate([z * proj_xy, z], axis=-1)
-            xyz = jnp.einsum("ij,nj->ni", jnp.linalg.inv(K), uvz)
+            xyz = jnp.einsum("ij,nj->ni", jnp.linalg.inv(K), uvz, precision=hi)
             # gravity-align the pose (991-992).
-            pose = T_gravity @ pose
+            pose = jnp.einsum("ij,njk->nik", T_gravity, pose, precision=hi)
             # WHL -> LHW reorder (971-973): head dims are (w, h, l).
             boxes3d = jnp.concatenate([xyz, dims[:, (2, 1, 0)]], axis=-1)
 

@@ -86,7 +86,10 @@ class StepConfig:
 def _pose_differs(poses_m, pose_ref, cfg: StepConfig):
     """(V, 4, 4) vs (4, 4) -> (V,) bool (box_manager.py:168-186)."""
     baseline = jnp.linalg.norm(poses_m[:, :3, 3] - pose_ref[:3, 3], axis=-1)
-    r_rel = jnp.einsum("ij,vkj->vik", pose_ref[:3, :3], poses_m[:, :3, :3])
+    r_rel = jnp.einsum(
+        "ij,vkj->vik", pose_ref[:3, :3], poses_m[:, :3, :3],
+        precision=jax.lax.Precision.HIGHEST,  # angle gates need f32 rotations
+    )
     tr = jnp.clip((jnp.trace(r_rel, axis1=1, axis2=2) - 1) / 2, -1.0, 1.0)
     ang = jnp.arccos(tr) * (180.0 / jnp.pi)
     return (baseline > cfg.translation_gap) | (ang > cfg.rotation_gap)
@@ -457,7 +460,9 @@ def _fuse_device(state: DeviceState, pst, K_img, H, W, cfg: StepConfig):
     # moves; the rotation stays the global box's own R)
     upd_onehot = jnp.zeros(G, bool).at[cand].set(updated)  # cand unique
     sel = jax.nn.one_hot(cand, G, dtype=jnp.float32) * updated[:, None]  # (F, G)
-    fused_rows = sel.T @ fused  # (G, 6)
+    # one-hot selection: HIGHEST keeps the fused coordinates bit-exact (a
+    # bf16 MXU pass would round them to ~3 digits)
+    fused_rows = jnp.matmul(sel.T, fused, precision=jax.lax.Precision.HIGHEST)  # (G, 6)
     xyzlhw = jnp.where(upd_onehot[:, None], fused_rows, state.xyzlhw)
 
     fflag = state.fflag | upd_onehot
@@ -473,7 +478,11 @@ def _fuse_device(state: DeviceState, pst, K_img, H, W, cfg: StepConfig):
     mask_all = slot < state.n
     corners_q = corners_all[cand]
     rows_iou = _gated_iou_rows(corners_q, updated, corners_all, mask_all, cfg)
-    rows_full = (jax.nn.one_hot(cand, G, dtype=jnp.float32) * updated[:, None]).T @ rows_iou
+    rows_full = jnp.matmul(
+        (jax.nn.one_hot(cand, G, dtype=jnp.float32) * updated[:, None]).T,
+        rows_iou,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     iou = jnp.where(upd_onehot[:, None], rows_full, state.iou)
     iou = jnp.where(upd_onehot[None, :], rows_full.T, iou)
     iou = iou * (1.0 - jnp.eye(G))
@@ -537,9 +546,10 @@ def _append_detections(state: DeviceState, det, mask, pose, K_depth, image_hw, f
 
     rp = pose[:3, :3]
     t = pose[:3, 3]
-    centers_w = boxes3d[:, :3] @ rp.T + t
+    hi = jax.lax.Precision.HIGHEST  # world lift is coordinate math
+    centers_w = jnp.matmul(boxes3d[:, :3], rp.T, precision=hi) + t
     xyzlhw_w = jnp.concatenate([centers_w, boxes3d[:, 3:]], axis=1)
-    R_w = jnp.einsum("ij,njk->nik", rp, R_cam)
+    R_w = jnp.einsum("ij,njk->nik", rp, R_cam, precision=hi)
 
     corners3d = box_corners(xyzlhw_w, R_w)
     poses_rep = jnp.broadcast_to(pose[None], (K, 4, 4))
