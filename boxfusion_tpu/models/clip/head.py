@@ -118,10 +118,14 @@ class OpenVocabLabeler:
         crops = (crops / 255.0 - jnp.asarray(CLIP_IMAGE_MEAN)) / jnp.asarray(CLIP_IMAGE_STD)
         feats = self.tower.apply(self.params, crops)
         feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
-        sims = 100.0 * feats @ jnp.asarray(self.text_features).T
+        sims = 100.0 * jnp.matmul(
+            feats, jnp.asarray(self.text_features).T,
+            precision=jax.lax.Precision.HIGHEST,  # label argmax ties need f32
+        )
         return feats, sims
 
-    def _boost_impl(self, image, boxes, scores, hw, scale, coeff, budget: int):
+    def _boost_impl(self, image, boxes, scores, hw, scale, coeff, budget: int,
+                    params=None):
         """Device-resident label + score boost over the top-``budget`` rows.
 
         ``boxes``/``scores`` are the detector's top-k outputs (sorted by
@@ -129,20 +133,26 @@ class OpenVocabLabeler:
         Mirrors the host path (reference demo.py:161-171): CLIP-label each
         crop, boost scores by ``coeff * max_sim / 100``, and sink
         below-``sim_thres`` (background) rows to -1e9 so the device step's
-        score filter drops them.  Rows beyond the budget keep their score
-        and the background-free default category 0 -- with ``budget`` at or
-        above the post-score-filter box count (the realistic case) this is
-        exactly the reference behavior.
+        score filter drops them.  Rows beyond the budget keep their raw
+        score and default to the background index (empty label) -- with
+        ``budget`` at or above the post-score-filter box count (the
+        realistic case) this is exactly the reference behavior; the
+        returned ``overflow`` counts live rows past the budget so callers
+        can surface the truncation instead of silently mislabeling.
 
-        Returns (new_scores (N,), categories (N,) int32, feats (budget, D)).
+        Returns (new_scores (N,), categories (N,) int32, feats (budget, D),
+        overflow () int32).
         """
         n_classes = self.text_features.shape[0]
         b = scale_boxes(boxes[:budget], hw[0], hw[1], scale)
         crops = batched_crop_resize(image, b)
         crops = (crops / 255.0 - jnp.asarray(CLIP_IMAGE_MEAN)) / jnp.asarray(CLIP_IMAGE_STD)
-        feats = self.tower.apply(self.params, crops)
+        feats = self.tower.apply(self.params if params is None else params, crops)
         feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
-        sims = 100.0 * feats @ jnp.asarray(self.text_features).T  # (budget, C)
+        sims = 100.0 * jnp.matmul(
+            feats, jnp.asarray(self.text_features).T,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (budget, C)
 
         # background column at sim_thres (tools/utils.py:488-494)
         scored = jnp.concatenate(
@@ -155,8 +165,11 @@ class OpenVocabLabeler:
         boosted = scores[:budget] + coeff * max_values / 100.0
         boosted = jnp.where(background, -1e9, boosted)
         new_scores = scores.at[:budget].set(boosted)
-        categories = jnp.zeros(scores.shape[0], jnp.int32).at[:budget].set(best)
-        return new_scores, categories, feats
+        # over-budget rows: background index (maps to the empty label "") --
+        # NOT class 0, which is a real category.
+        categories = jnp.full(scores.shape[0], n_classes, jnp.int32).at[:budget].set(best)
+        overflow = jnp.sum(scores[budget:] > -1e8).astype(jnp.int32)
+        return new_scores, categories, feats, overflow
 
     def label_boost_device(
         self, image, boxes_xyxy, scores, hw, scale: float, coeff: float,

@@ -105,6 +105,7 @@ class DevicePipeline:
         self._executor = ThreadPoolExecutor(max_workers=1)
         self._last = None
         self._worker_error = None
+        self._label_overflow = jnp.int32(0)
 
     def _device_step(self, buf: np.ndarray) -> None:
         try:
@@ -183,7 +184,7 @@ class DevicePipeline:
 
                 raw_ok = det["scores"] >= float(self.cfg["detection"]["score_thresh"])
                 masked = _jnp.where(raw_ok, det["scores"], -1e9)
-                new_scores, categories, _ = self.labeler.label_boost_device(
+                new_scores, categories, _, overflow = self.labeler.label_boost_device(
                     image_dev,
                     det["pred_boxes"],
                     masked,
@@ -194,6 +195,9 @@ class DevicePipeline:
                 )
                 det["scores"] = _jnp.where(raw_ok, new_scores, -1e9)
                 det["category"] = categories
+                # no-silent-caps: count live detections past the label budget
+                # (lazy device scalar; reported in run()'s summary)
+                self._label_overflow = self._label_overflow + overflow
             meta = self._pack_meta(frame, self.count)
             kmax = int(self.cfg["detection"]["max_detections"])
             self._last = self._executor.submit(
@@ -282,4 +286,12 @@ class DevicePipeline:
         duration = time.time() - start
         self.fps = self.count / max(duration, 1e-9)
         print(f"Cost: {duration:.2f} s Average FPS: {self.fps:.2f}")
+        overflow = int(self._label_overflow)
+        if overflow:
+            print(
+                f"[boxfusion-tpu] WARNING: {overflow} detections exceeded the "
+                "CLIP label budget (detection.max_label_boxes) and were left "
+                "unboosted with the background label; raise the budget to "
+                "label every box like the reference."
+            )
         return export_world(self.state, class_list=self.class_list)

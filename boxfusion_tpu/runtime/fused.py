@@ -1,0 +1,272 @@
+"""Single-dispatch keyframe path: detect + label + associate + fuse, one jit.
+
+The reference executes a keyframe as ~5 separate GPU interactions (model
+forward demo.py:136, CLIP crops demo.py:167, per-iteration fusion kernel
+launches box_fusion.py:664-666) with host round-trips between them.  The
+device-resident engine (device_pipeline.py) already collapsed the
+association/fusion side into one dispatch; this module collapses the ENTIRE
+keyframe -- pixel packaging, CuTR forward, open-vocab CLIP labeling, and
+the keyframe association/fusion step -- into ONE jitted program per
+(image-shape, pad-bucket) key, fed by ONE packed byte-buffer upload.
+
+Why: on remote-attached TPUs every host<->device interaction costs
+milliseconds of RPC latency (docs/TUNNEL_PERF_NOTES.md measures
+~2.7 ms/transfer + ~12 ms/MB in the degraded tunnel mode).  Per keyframe
+the fused path pays exactly one upload (pixels u8 + depth u16 + metadata,
+~1 MB) and one execute, and never syncs: the returned state feeds the next
+keyframe's call, so successive keyframes pipeline on device.
+
+Transfer format (one flat uint8 buffer):
+
+  [ image u8 (H*W*3) | depth u16-LE (Hd*Wd*2) | meta f32-LE (48*4) ]
+
+Depth rides as uint16 millimetres (lossless for CA-1M/ScanNet sources,
+whose on-disk depth IS u16 at ``depth_scale``; mode "f32" is bit-exact for
+synthetic float depth) -- halving the dominant upload vs float32.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from boxfusion_tpu.data.preprocess import (
+    PIXEL_MEAN_U8,
+    PIXEL_STD_U8,
+    _package_jit,
+    resolve_pad_and_ratio,
+)
+from boxfusion_tpu.runtime.detector import _TAKE, CuTRDetector
+from boxfusion_tpu.runtime.device_pipeline import DevicePipeline
+from boxfusion_tpu.runtime.device_step import _keyframe_step_impl
+
+# pose 16 | K_img 9 | K_depth 9 | image_hw 2 | frame_idx 1  (= device_step
+# META layout, device_step.py:736) | T_gravity 9 | depth_scale 1 | pad 1
+FUSED_META_WIDTH = 48
+
+
+def make_fused_keyframe_fn(
+    model,
+    step_cfg,
+    *,
+    h: int,
+    w: int,
+    dh: int,
+    dw: int,
+    square: int,
+    ratio: int,
+    kmax: int,
+    depth_mode: str = "u16",
+    labeler=None,
+    label_budget: int = 32,
+    scale_box: float = 1.5,
+    clip_coeff: float = 0.0,
+    raw_score_thresh: float = 0.0,
+):
+    """Build the jitted fused keyframe program for one shape bucket.
+
+    Returns ``fn(params, clip_params, state, buf, pst) -> (state, overflow)``
+    where ``buf`` is the packed uint8 transfer buffer.  ``clip_params`` is
+    ignored (pass None) when ``labeler`` is None.
+    """
+    n_img = h * w * 3
+    n_dep = dh * dw * (2 if depth_mode == "u16" else 4)
+
+    def fused(params, clip_params, state, buf, pst):
+        image_u8 = buf[:n_img].reshape(h, w, 3)
+        d_raw = buf[n_img : n_img + n_dep]
+        if depth_mode == "u16":
+            depth = jax.lax.bitcast_convert_type(
+                d_raw.reshape(dh, dw, 2), jnp.uint16
+            ).astype(jnp.float32)
+        else:
+            depth = jax.lax.bitcast_convert_type(
+                d_raw.reshape(dh, dw, 4), jnp.float32
+            )
+        meta = jax.lax.bitcast_convert_type(
+            buf[n_img + n_dep :].reshape(FUSED_META_WIDTH, 4), jnp.float32
+        )
+        pose = meta[:16].reshape(4, 4)
+        K_img = meta[16:25].reshape(3, 3)
+        K_depth = meta[25:34].reshape(3, 3)
+        image_hw = meta[34:36]
+        frame_idx = meta[36].astype(jnp.int32)
+        T_gravity = meta[37:46].reshape(3, 3)
+        if depth_mode == "u16":
+            depth = depth / meta[46]  # depth_scale (units per metre)
+
+        batch = _package_jit(image_u8, depth, K_img, T_gravity, square, ratio)
+        out = model.apply(params, batch)
+        det = {k: v[0] for k, v in out.items() if k in _TAKE}
+        det = {
+            k: v
+            for k, v in det.items()
+            if k in ("scores", "pred_boxes", "boxes3d", "R", "proj_xy")
+        }
+
+        overflow = jnp.int32(0)
+        if labeler is not None:
+            image_dev = batch.image[0] * jnp.asarray(PIXEL_STD_U8) + jnp.asarray(
+                PIXEL_MEAN_U8
+            )
+            # raw-score filter BEFORE labeling (demo.py:138-148): the step's
+            # own score filter is bypassed (DevicePipeline.__init__).
+            raw_ok = det["scores"] >= raw_score_thresh
+            masked = jnp.where(raw_ok, det["scores"], -1e9)
+            budget = min(int(label_budget), int(det["pred_boxes"].shape[0]))
+            new_scores, categories, _, overflow = labeler._boost_impl(
+                image_dev,
+                det["pred_boxes"],
+                masked,
+                image_hw,
+                jnp.float32(scale_box),
+                jnp.float32(clip_coeff),
+                budget,
+                params=clip_params,
+            )
+            det["scores"] = jnp.where(raw_ok, new_scores, -1e9)
+            det["category"] = categories
+
+        # pad/truncate to the step's static detection budget
+        n = int(det["scores"].shape[0])
+
+        def pad(x, fill=0.0):
+            x = x[:kmax]
+            if x.shape[0] < kmax:
+                pads = [(0, kmax - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+                x = jnp.pad(x, pads, constant_values=fill)
+            return x
+
+        scores = pad(det["scores"], -1e9)
+        boxes3d = pad(det["boxes3d"])
+        if n < kmax:
+            boxes3d = boxes3d.at[n:, 3:].set(1.0)
+        det = dict(
+            scores=scores,
+            pred_boxes=pad(det["pred_boxes"]),
+            boxes3d=boxes3d,
+            R=pad(det["R"]),
+            proj_xy=pad(det.get("proj_xy", jnp.zeros((n, 2)))),
+            category=pad(
+                det.get("category", jnp.zeros(n, jnp.int32))
+            ).astype(jnp.int32),
+        )
+        state = _keyframe_step_impl(
+            state, det, pst, pose, K_img, K_depth, image_hw, frame_idx, step_cfg
+        )
+        return state, overflow
+
+    return jax.jit(fused)
+
+
+class FusedDevicePipeline(DevicePipeline):
+    """DevicePipeline whose keyframe is ONE upload + ONE dispatch.
+
+    Takes a ``CuTRDetector`` (for its model/params); the detector's own
+    per-call path is bypassed -- its model is traced into the fused
+    program.  Open-vocab labeling joins the same program when a labeler
+    with device-resident weights is supplied.
+    """
+
+    def __init__(
+        self,
+        cfg,
+        detector: CuTRDetector,
+        labeler=None,
+        capacity: int = 512,
+        depth_mode: str = "u16",
+        depth_scale: float = 1000.0,
+    ):
+        super().__init__(cfg, detector, labeler, capacity)
+        if depth_mode not in ("u16", "f32"):
+            raise ValueError(f"depth_mode must be u16|f32, got {depth_mode}")
+        self.depth_mode = depth_mode
+        self.depth_scale = float(depth_scale)
+        self._fused_fns: Dict[tuple, object] = {}
+        if labeler is not None:
+            self.class_list = list(labeler.class_list) + [""]
+
+    def _get_fused(self, key):
+        fn = self._fused_fns.get(key)
+        if fn is None:
+            h, w, dh, dw, square, ratio = key
+            det_cfg = self.cfg["detection"]
+            fn = make_fused_keyframe_fn(
+                self.detector.model,
+                self.step_cfg,
+                h=h,
+                w=w,
+                dh=dh,
+                dw=dw,
+                square=square,
+                ratio=ratio,
+                kmax=int(det_cfg["max_detections"]),
+                depth_mode=self.depth_mode,
+                labeler=self.labeler,
+                label_budget=int(det_cfg["max_label_boxes"]),
+                scale_box=float(det_cfg["scale_box"]),
+                clip_coeff=float(self.cfg["box_fusion"]["clip_sim_coeff"]),
+                raw_score_thresh=float(det_cfg["score_thresh"]),
+            )
+            self._fused_fns[key] = fn
+        return fn
+
+    def _pack_buffer(self, frame) -> np.ndarray:
+        h, w = frame.image.shape[:2]
+        dh, dw = frame.depth.shape[:2]
+        n_img = h * w * 3
+        n_dep = dh * dw * (2 if self.depth_mode == "u16" else 4)
+        buf = np.empty(n_img + n_dep + FUSED_META_WIDTH * 4, np.uint8)
+        buf[:n_img] = np.ascontiguousarray(frame.image, np.uint8).reshape(-1)
+        if self.depth_mode == "u16":
+            d = np.clip(
+                np.round(np.asarray(frame.depth, np.float64) * self.depth_scale),
+                0,
+                65535,
+            ).astype("<u2")
+        else:
+            d = np.asarray(frame.depth, "<f4")
+        buf[n_img : n_img + n_dep] = d.reshape(-1).view(np.uint8)
+        meta = np.zeros(FUSED_META_WIDTH, "<f4")
+        meta[:16] = np.asarray(frame.gt_pose, np.float32).ravel()
+        meta[16:25] = np.asarray(frame.K, np.float32).ravel()
+        meta[25:34] = np.asarray(frame.K_depth, np.float32).ravel()
+        meta[34:36] = (float(h), float(w))
+        meta[36] = float(self.count)
+        meta[37:46] = np.asarray(frame.T_gravity, np.float32).ravel()
+        meta[46] = self.depth_scale
+        buf[n_img + n_dep :] = meta.view(np.uint8)
+        return buf
+
+    def _fused_step(self, fn, buf: np.ndarray) -> None:
+        try:
+            clip_params = self.labeler.params if self.labeler is not None else None
+            self.state, overflow = fn(
+                self.detector.params,
+                clip_params,
+                self.state,
+                jax.device_put(buf),
+                self.pst,
+            )
+            self._label_overflow = self._label_overflow + overflow
+        except BaseException as e:  # surfaced on the next submit/flush
+            self._worker_error = e
+            raise
+
+    def process_keyframe(self, frame) -> None:
+        self._raise_worker_error()
+        if frame.depth is None:
+            # depth-less frames (rgb-only capture) take the parent's path;
+            # the fused buffer layout assumes a depth plane.
+            return super().process_keyframe(frame)
+        square, ratio = resolve_pad_and_ratio(
+            frame.image, frame.depth, self.detector.buckets
+        )
+        h, w = frame.image.shape[:2]
+        dh, dw = frame.depth.shape[:2]
+        fn = self._get_fused((h, w, dh, dw, square, ratio))
+        buf = self._pack_buffer(frame)
+        self._last = self._executor.submit(self._fused_step, fn, buf)

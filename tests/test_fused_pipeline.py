@@ -1,0 +1,170 @@
+"""Fused single-dispatch keyframe path vs the multi-dispatch device path.
+
+The fused program (runtime/fused.py) traces packaging + CuTR + CLIP +
+keyframe step into one executable fed by one packed byte buffer; these
+tests assert it reproduces the step-by-step device pipeline exactly
+(depth_mode "f32" is bit-identical; "u16" quantizes depth to mm).
+"""
+import numpy as np
+import pytest
+
+from boxfusion_tpu.data.synthetic import SyntheticSequence
+from boxfusion_tpu.models.cutr import make_cutr
+from boxfusion_tpu.runtime.detector import CuTRDetector
+from boxfusion_tpu.runtime.device_pipeline import DevicePipeline
+from boxfusion_tpu.runtime.fused import FUSED_META_WIDTH, FusedDevicePipeline
+from boxfusion_tpu.utils.config import load_config
+
+
+def _cfg():
+    c = load_config("config/ca1m.yaml")
+    c["data"]._data["gap"] = 5
+    c["detection"]._data["score_thresh"] = 0.1
+    c["detection"]._data["uv_bound"] = False
+    c["detection"]._data["floor_mask"] = False
+    c["detection"]._data["max_detections"] = 16
+    c["box_fusion"]._data["pst_path"] = None
+    c["box_fusion"]._data["pst_size"] = 128
+    c["box_fusion"]._data["iters"] = 4
+    c["box_fusion"]._data["max_fusions_per_frame"] = 4
+    c["association"]._data["max_views"] = 5
+    return c
+
+
+@pytest.fixture(scope="module")
+def cutr():
+    import jax
+
+    model = make_cutr(dimension=192, depth_model=True)
+    seq = SyntheticSequence(n_frames=1, n_boxes=3, seed=0)
+    frame = next(iter(seq))
+    from boxfusion_tpu.data.preprocess import Preprocessor
+
+    batch, _, _ = Preprocessor()(frame.image, frame.depth, frame.K, frame.T_gravity)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    return model, params
+
+
+def _mm_quantized_frames(seq):
+    """Frames whose depth is exactly representable as u16 mm, so the fused
+    u16 transfer is lossless and outputs can be compared exactly."""
+    frames = []
+    for f in seq:
+        import dataclasses
+
+        d = np.round(f.depth * 1000.0) / 1000.0
+        frames.append(dataclasses.replace(f, depth=d.astype(np.float32)))
+    return frames
+
+
+def test_fused_matches_device_pipeline(cutr):
+    model, params = cutr
+    cfg = _cfg()
+    seq = SyntheticSequence(n_frames=11, n_boxes=4, seed=3)
+    frames = _mm_quantized_frames(seq)
+
+    ref = DevicePipeline(
+        cfg, CuTRDetector(model, params, device_output=True), capacity=64
+    )
+    ref_world = ref.run(frames, gap=5)
+
+    fused = FusedDevicePipeline(
+        cfg, CuTRDetector(model, params), capacity=64, depth_mode="u16"
+    )
+    fused_world = fused.run(frames, gap=5)
+
+    assert len(fused_world["scores"]) == len(ref_world["scores"])
+    of = np.argsort(fused_world["init_id"])
+    orr = np.argsort(ref_world["init_id"])
+    np.testing.assert_array_equal(
+        np.asarray(fused_world["init_id"])[of], np.asarray(ref_world["init_id"])[orr]
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused_world["xyzlhw"])[of],
+        np.asarray(ref_world["xyzlhw"])[orr],
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused_world["scores"])[of],
+        np.asarray(ref_world["scores"])[orr],
+        atol=1e-6,
+    )
+
+
+def test_fused_with_labeler_matches_device_pipeline(cutr):
+    import jax.numpy as jnp
+
+    from boxfusion_tpu.models.clip.head import OpenVocabLabeler
+    from boxfusion_tpu.models.clip.model import CLIPConfig
+
+    model, params = cutr
+    cfg = _cfg()
+    cfg["box_fusion"]._data["clip_sim_coeff"] = 2.0
+
+    tiny = CLIPConfig(
+        patch=32, width=64, layers=2, heads=2, embed_dim=32,
+        vocab_size=64, context_length=8, text_width=64, text_layers=1, text_heads=2,
+    )
+    tf = np.random.RandomState(0).randn(4, 32).astype(np.float32)
+    classes = ["chair", "table", "sofa", "lamp"]
+
+    seq = SyntheticSequence(n_frames=11, n_boxes=4, seed=3)
+    frames = _mm_quantized_frames(seq)
+
+    ref = DevicePipeline(
+        cfg,
+        CuTRDetector(model, params, device_output=True, export_image=True),
+        labeler=OpenVocabLabeler(classes, tf, cfg=tiny, sim_thres=-1e9, max_boxes=16).init_random(0),
+        capacity=64,
+    )
+    ref_world = ref.run(frames, gap=5)
+
+    fused = FusedDevicePipeline(
+        cfg,
+        CuTRDetector(model, params),
+        labeler=OpenVocabLabeler(classes, tf, cfg=tiny, sim_thres=-1e9, max_boxes=16).init_random(0),
+        capacity=64,
+        depth_mode="u16",
+    )
+    fused_world = fused.run(frames, gap=5)
+
+    assert len(fused_world["scores"]) == len(ref_world["scores"])
+    of = np.argsort(fused_world["init_id"])
+    orr = np.argsort(ref_world["init_id"])
+    np.testing.assert_array_equal(
+        np.asarray(fused_world["init_id"])[of], np.asarray(ref_world["init_id"])[orr]
+    )
+    assert [fused_world["categories"][i] for i in of] == [
+        ref_world["categories"][i] for i in orr
+    ]
+    np.testing.assert_allclose(
+        np.asarray(fused_world["scores"])[of],
+        np.asarray(ref_world["scores"])[orr],
+        atol=1e-5,
+    )
+
+
+def test_packed_buffer_roundtrip(cutr):
+    """The byte-packed transfer decodes to the exact pixels/meta."""
+    import jax
+
+    model, params = cutr
+    cfg = _cfg()
+    seq = SyntheticSequence(n_frames=1, n_boxes=3, seed=0)
+    frame = _mm_quantized_frames(seq)[0]
+
+    pipe = FusedDevicePipeline(cfg, CuTRDetector(model, params), capacity=64)
+    buf = pipe._pack_buffer(frame)
+    h, w = frame.image.shape[:2]
+    dh, dw = frame.depth.shape[:2]
+    n_img, n_dep = h * w * 3, dh * dw * 2
+    assert buf.shape[0] == n_img + n_dep + FUSED_META_WIDTH * 4
+
+    img = buf[:n_img].reshape(h, w, 3)
+    np.testing.assert_array_equal(img, frame.image)
+    depth = buf[n_img : n_img + n_dep].view("<u2").reshape(dh, dw) / 1000.0
+    np.testing.assert_allclose(depth, frame.depth, atol=1e-6)
+    meta = buf[n_img + n_dep :].view("<f4")
+    np.testing.assert_array_equal(meta[:16], frame.gt_pose.ravel())
+    np.testing.assert_array_equal(meta[16:25], frame.K.ravel())
+    assert meta[34] == h and meta[35] == w and meta[46] == 1000.0
