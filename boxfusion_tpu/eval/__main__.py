@@ -6,6 +6,14 @@ val.txt sequence with skip-if-exists resume, demo.py:434-436) as one command:
   python -m boxfusion_tpu.eval --config config/ca1m.yaml \
       --data-root /data/ca1m --seq-list data/val.txt \
       --model-path cutr_rgbd.pth --output-dir out/
+
+Plus a dataset-free self-evaluation mode that the reference cannot offer
+(its eval code is unreleased, reference README.md:23): ``--synthetic N``
+runs the oracle pipeline over N synthetic scenes with closed-form GT and
+reports 3D AP@0.25 / AP@0.5 -- the end-to-end proof that the evaluator,
+fan-out runner, and pipeline agree:
+
+  python -m boxfusion_tpu.eval --config config/ca1m.yaml --synthetic 5
 """
 from __future__ import annotations
 
@@ -16,15 +24,60 @@ import sys
 import numpy as np
 
 
+def _run_synthetic(cfg, n_seqs: int, capacity: int) -> int:
+    """Oracle pipeline vs synthetic GT over ``n_seqs`` sequences -> AP."""
+    import jax.numpy as jnp
+
+    from boxfusion_tpu.data.synthetic import OracleDetector, SyntheticSequence
+    from boxfusion_tpu.eval.runner import evaluate_sequences
+    from boxfusion_tpu.geometry.boxes import box_corners
+
+    # the oracle scene defines its own filter profile: no uv/floor rejection
+    # (its GT boxes may sit near image borders) and the bundled PST fallback.
+    cfg["detection"]._data["score_thresh"] = 0.3
+    cfg["detection"]._data["uv_bound"] = False
+    cfg["detection"]._data["floor_mask"] = False
+    cfg["box_fusion"]._data["pst_path"] = None
+
+    seqs = [
+        SyntheticSequence(n_frames=60, n_boxes=6, seed=s, video_id=f"synth{s}")
+        for s in range(n_seqs)
+    ]
+
+    def gt_provider(seq):
+        return np.asarray(
+            box_corners(jnp.asarray(seq.gt_xyzlhw), jnp.asarray(seq.gt_R))
+        )
+
+    out = evaluate_sequences(
+        cfg,
+        seqs,
+        detector_factory=lambda s: OracleDetector(s, noise=0.02, seed=1),
+        gt_provider=gt_provider,
+        capacity=capacity,
+    )
+    print(
+        f"[eval] synthetic self-eval over {n_seqs} sequences: "
+        f"AP@0.25 = {out['ap_0.25']['ap']:.4f}  "
+        f"AP@0.50 = {out['ap_0.50']['ap']:.4f}  "
+        f"(mean FPS {out['mean_fps']:.2f})"
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="boxfusion-tpu-eval", description=__doc__)
     p.add_argument("--config", required=True)
-    p.add_argument("--data-root", required=True, help="directory of sequence dirs")
+    p.add_argument("--data-root", default=None, help="directory of sequence dirs")
     p.add_argument("--seq-list", default=None, help="txt file of sequence ids (val.txt)")
     p.add_argument("--model-path", default=None)
     p.add_argument("--dimension", default=768, type=int)
     p.add_argument("--output-dir", default=None)
     p.add_argument("--capacity", default=512, type=int)
+    p.add_argument(
+        "--synthetic", default=0, type=int, metavar="N",
+        help="dataset-free mode: oracle pipeline over N synthetic GT scenes -> AP",
+    )
     args = p.parse_args(argv)
 
     from boxfusion_tpu.data import get_dataset
@@ -32,6 +85,11 @@ def main(argv=None) -> int:
     from boxfusion_tpu.utils.config import load_config
 
     cfg = load_config(args.config)
+
+    if args.synthetic:
+        return _run_synthetic(cfg, args.synthetic, args.capacity)
+    if not args.data_root:
+        p.error("--data-root is required unless --synthetic N is given")
 
     if args.seq_list:
         from boxfusion_tpu.utils.config import read_lines
@@ -70,12 +128,16 @@ def main(argv=None) -> int:
     # compute to the device the checkpoint was loaded on).
     params_host = jax.tree_util.tree_map(np.asarray, det0.params)
 
+    def detector_factory(seq):
+        # The runner calls this under jax.default_device(dev): upload the
+        # checkpoint once per sequence, not once per jitted keyframe call.
+        params_dev = jax.device_put(params_host)
+        return CuTRDetector(det0.model, params_dev, device_output=True)
+
     out = evaluate_sequences(
         cfg,
         (make_seq(s) for s in seq_ids),  # lazy: one dataset at a time
-        detector_factory=lambda seq: CuTRDetector(
-            det0.model, params_host, device_output=True
-        ),
+        detector_factory=detector_factory,
         output_dir=args.output_dir,
         capacity=args.capacity,
     )

@@ -96,8 +96,10 @@ int bf_decode_png(const uint8_t* buf, size_t len, uint8_t** out, int* w,
     png_destroy_read_struct(&png, nullptr, nullptr);
     return -2;
   }
-  uint8_t* pixels = nullptr;
-  png_bytep* rows = nullptr;
+  // volatile: both are written after setjmp and read in the longjmp cleanup
+  // path; without it their values there are indeterminate (C11 7.13.2.1).
+  uint8_t* volatile pixels = nullptr;
+  png_bytep* volatile rows = nullptr;
   if (setjmp(png_jmpbuf(png))) {
     free(pixels);
     free(rows);
@@ -168,7 +170,8 @@ int bf_decode_jpeg(const uint8_t* buf, size_t len, uint8_t** out, int* w,
   bf_jpeg_err jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = bf_jpeg_error_exit;
-  uint8_t* pixels = nullptr;
+  // volatile: written after setjmp, read by the longjmp cleanup (free) path.
+  uint8_t* volatile pixels = nullptr;
   if (setjmp(jerr.jmp)) {
     free(pixels);
     jpeg_destroy_decompress(&cinfo);

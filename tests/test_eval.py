@@ -64,7 +64,7 @@ def test_evaluate_sequences_fanout(tmp_path):
 
     seqs = [
         SyntheticSequence(n_frames=15, n_boxes=3, seed=s, video_id=f"synth{s}")
-        for s in (0, 1)
+        for s in (0, 1, 2, 3, 4)
     ]
 
     def gt_provider(seq):
@@ -78,7 +78,7 @@ def test_evaluate_sequences_fanout(tmp_path):
         output_dir=str(tmp_path),
         capacity=64,
     )
-    assert len(out["sequences"]) == 2
+    assert len(out["sequences"]) == 5
     assert out["ap_0.25"]["ap"] > 0.99, out["ap_0.25"]
     assert (tmp_path / "synth0_boxes.pkl").exists()
 
