@@ -294,4 +294,19 @@ class DevicePipeline:
                 "unboosted with the background label; raise the budget to "
                 "label every box like the reference."
             )
-        return export_world(self.state, class_list=self.class_list)
+        world = export_world(self.state, class_list=self.class_list)
+        st = world["stats"]
+        if st["dropped_world_capacity"] or st["dropped_obs_capacity"]:
+            print(
+                "[boxfusion-tpu] WARNING: capacity overflow dropped "
+                f"{st['dropped_world_capacity']} detections (world set full) and "
+                f"{st['dropped_obs_capacity']} (observation bank full); raise "
+                "DevicePipeline(capacity=...) / association.max_observations."
+            )
+        if st["truncated_gated_pairs"]:
+            print(
+                f"[boxfusion-tpu] WARNING: {st['truncated_gated_pairs']} gated "
+                "IoU pairs exceeded max_gated_pairs and were scored 0; NMS may "
+                "under-merge on very dense scenes (raise StepConfig.max_gated_pairs)."
+            )
+        return world

@@ -57,6 +57,13 @@ class DeviceState:
     obs_corners2d: jnp.ndarray  # (M, 8, 2)
     obs_n: jnp.ndarray       # () int32
 
+    # no-silent-caps counters (cumulative over the sequence):
+    # [0] detections dropped because the world set was full,
+    # [1] detections dropped because the observation bank was full,
+    # [2] containment-gated IoU pairs truncated by max_gated_pairs,
+    # [3] keyframes processed.
+    stats: jnp.ndarray       # (4,) int32
+
     def tree_flatten(self):
         fields = dataclasses.fields(self)
         return tuple(getattr(self, f.name) for f in fields), None
@@ -99,6 +106,7 @@ def init_state(capacity: int = 512, max_views: int = 10, obs_capacity: int = 409
         obs_score=jnp.zeros((M,), f32),
         obs_corners2d=jnp.zeros((M, 8, 2), f32),
         obs_n=jnp.int32(0),
+        stats=jnp.zeros((4,), jnp.int32),
     )
 
 
@@ -119,6 +127,12 @@ def export_world(state: DeviceState, class_list=None) -> Dict[str, np.ndarray]:
             [int(x) for x in row if x != PAD_ID]
             for row in np.asarray(state.flist[:n])
         ],
+        "stats": {
+            "dropped_world_capacity": int(state.stats[0]),
+            "dropped_obs_capacity": int(state.stats[1]),
+            "truncated_gated_pairs": int(state.stats[2]),
+            "keyframes": int(state.stats[3]),
+        },
     }
     if class_list is not None:
         out["categories"] = [class_list[int(c)] for c in out["category"]]

@@ -384,7 +384,12 @@ def _compact(state: DeviceState, keep) -> DeviceState:
 # ---------------------------------------------------------------------------
 
 def _gated_iou_rows(corners_q, mask_q, corners_all, mask_all, cfg: StepConfig):
-    """(Q, A) IoU rows: dense containment gate, grid IoU on gated pairs only."""
+    """(Q, A) IoU rows: dense containment gate, grid IoU on gated pairs only.
+
+    Returns (rows, truncated): ``truncated`` counts gated pairs beyond the
+    ``max_gated_pairs`` budget whose IoU was therefore NOT computed (their
+    row entries stay 0) -- surfaced by the pipeline instead of silently
+    weakening NMS on very dense scenes."""
     Q = corners_q.shape[0]
     A = corners_all.shape[0]
     gate = jax.vmap(
@@ -395,6 +400,7 @@ def _gated_iou_rows(corners_q, mask_q, corners_all, mask_all, cfg: StepConfig):
 
     flat = gate.reshape(-1)
     k = min(cfg.max_gated_pairs, flat.shape[0])
+    truncated = jnp.maximum(jnp.sum(flat.astype(jnp.int32)) - k, 0)
     _, pair_idx = jax.lax.top_k(flat.astype(jnp.int32), k)
     ia = pair_idx // A
     ib = pair_idx % A
@@ -409,7 +415,7 @@ def _gated_iou_rows(corners_q, mask_q, corners_all, mask_all, cfg: StepConfig):
     )
 
     rows = jnp.zeros(Q * A, jnp.float32).at[pair_idx].set(vals).reshape(Q, A)
-    return rows
+    return rows, truncated
 
 
 # ---------------------------------------------------------------------------
@@ -477,7 +483,8 @@ def _fuse_device(state: DeviceState, pst, K_img, H, W, cfg: StepConfig):
     corners_all = box_corners(state.xyzlhw, state.R)
     mask_all = slot < state.n
     corners_q = corners_all[cand]
-    rows_iou = _gated_iou_rows(corners_q, updated, corners_all, mask_all, cfg)
+    rows_iou, truncated = _gated_iou_rows(corners_q, updated, corners_all, mask_all, cfg)
+    state = dataclasses.replace(state, stats=state.stats.at[2].add(truncated))
     rows_full = jnp.matmul(
         (jax.nn.one_hot(cand, G, dtype=jnp.float32) * updated[:, None]).T,
         rows_iou,
@@ -530,9 +537,12 @@ def _append_detections(state: DeviceState, det, mask, pose, K_depth, image_hw, f
     (dynamic_update_slice would clamp the start index when n > capacity-K)."""
     K = mask.shape[0]
     order = jnp.argsort(~mask, stable=True)
-    k = jnp.sum(mask).astype(jnp.int32)
-    k = jnp.minimum(k, state.capacity - state.n)
-    k = jnp.minimum(k, state.obs_pose.shape[0] - state.obs_n)
+    k_want = jnp.sum(mask).astype(jnp.int32)
+    k_world = jnp.minimum(k_want, state.capacity - state.n)
+    k = jnp.minimum(k_world, state.obs_pose.shape[0] - state.obs_n)
+    # no-silent-caps: count what the fixed capacities dropped
+    stats = state.stats.at[0].add(k_want - k_world).at[1].add(k_world - k)
+    state = dataclasses.replace(state, stats=stats)
     row = jnp.arange(K, dtype=jnp.int32)
 
     def pick(x):
@@ -565,6 +575,10 @@ def _append_detections(state: DeviceState, det, mask, pose, K_depth, image_hw, f
         pre-merged with the existing rows it would otherwise overwrite (a
         contiguous slice + roll + where -- far cheaper than a scatter)."""
         block = block.astype(buf.dtype)
+        # a block wider than the whole buffer can only ever land its first
+        # `capacity` rows (k is clamped to capacity - n upstream); trimming
+        # keeps the slice sizes legal when max_detections > capacity
+        block = block[: buf.shape[0]]
         rows = block.shape[0]
         o = jnp.minimum(n_counter, buf.shape[0] - rows)
         shift = n_counter - o  # > 0 only when nearly full
@@ -642,6 +656,7 @@ def _keyframe_step_impl(
       K_img / K_depth: (3, 3) intrinsics.  image_hw: (2,) actual (H, W).
     """
     G = state.capacity
+    state = dataclasses.replace(state, stats=state.stats.at[3].add(1))
     mask = _filter_mask(det, image_hw, cfg)
     n_before = state.n
     state, k_new = _append_detections(
@@ -659,11 +674,13 @@ def _keyframe_step_impl(
         corners_all = box_corners(state.xyzlhw, state.R)
 
         # IoU cache rows for the new slots (two-phase gated)
-        rows = _gated_iou_rows(corners_all, is_new, corners_all, mask_all, cfg)
+        rows, truncated = _gated_iou_rows(corners_all, is_new, corners_all, mask_all, cfg)
         iou = jnp.where(is_new[:, None], rows, state.iou)
         iou = jnp.where(is_new[None, :] & ~is_new[:, None], rows.T, iou)
         iou = iou * (1.0 - jnp.eye(G))
-        state = dataclasses.replace(state, iou=iou)
+        state = dataclasses.replace(
+            state, iou=iou, stats=state.stats.at[2].add(truncated)
+        )
 
         first_frame = n_before == 0
 

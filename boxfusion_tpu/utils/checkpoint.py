@@ -51,4 +51,8 @@ def restore_pipeline_state(path: str):
     import jax.numpy as jnp
 
     names = [f.name for f in dataclasses.fields(DeviceState)]
+    # stats counters were added after the first release; old snapshots
+    # restore with zeroed counters.
+    if "stats" not in tree:
+        tree = dict(tree, stats=np.zeros(4, np.int32))
     return DeviceState(**{k: jnp.asarray(tree[k]) for k in names})
