@@ -29,8 +29,26 @@ def load_pst(path: str | None, pst_size: int = 1024) -> np.ndarray:
 
         arr = np.asarray(Image.open(path), dtype=np.float32)
         if arr.ndim != 2 or arr.shape[1] != 6:
-            raise ValueError(f"Unexpected PST shape {arr.shape} from {path}")
+            raise ValueError(
+                f"Unexpected PST shape {arr.shape} from {path}; expected a "
+                f"({pst_size}, 6) float32 tiff (reference box_fusion.py:31-32)"
+            )
+        if arr.shape[0] < pst_size:
+            raise ValueError(
+                f"PST {path} has {arr.shape[0]} rows < requested pst_size "
+                f"{pst_size}; lower box_fusion.pst_size or supply a larger table"
+            )
+        if not np.allclose(arr[0], 0.0):
+            raise ValueError(
+                f"PST {path} row 0 is {arr[0]}, expected the all-zero identity "
+                "particle (the optimizer's no-move baseline, box_fusion.py:482)"
+            )
         return arr[:pst_size]
+    if path:
+        raise FileNotFoundError(
+            f"PST file not found: {path} (set box_fusion.pst_path to the "
+            "reference's data/pst_1024_0.tiff, or null to synthesize a table)"
+        )
     return synthesize_pst(pst_size)
 
 

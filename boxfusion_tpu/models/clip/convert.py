@@ -104,8 +104,15 @@ def convert_text_tower(sd: Dict, quick_gelu: bool | None = None) -> Tuple[Dict, 
 
 def load_clip_image_params(path: str):
     """Load a torch CLIP checkpoint -> (flax params, CLIPConfig)."""
+    import os
+
     import torch
 
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"CLIP checkpoint not found: {path} (expected open_clip/OpenAI "
+            "torch weights, e.g. ViT-H-14; see README 'Checkpoints')"
+        )
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()

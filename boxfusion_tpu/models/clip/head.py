@@ -104,6 +104,18 @@ class OpenVocabLabeler:
     ):
         self.class_list = np.asarray(list(class_list))
         tf = np.asarray(text_features, np.float32)
+        if tf.ndim != 2:
+            raise ValueError(
+                f"text_features must be (n_classes, dim), got shape {tf.shape} "
+                "(the reference ships data/class_features.pt as [473, 1024], "
+                "tools/utils.py:342-353)"
+            )
+        if len(self.class_list) != tf.shape[0]:
+            raise ValueError(
+                f"class list has {len(self.class_list)} entries but "
+                f"text_features has {tf.shape[0]} rows -- the class txt and "
+                "precomputed features must pair up (demo.py:460-461)"
+            )
         self.text_features = tf / np.linalg.norm(tf, axis=-1, keepdims=True)
         self.sim_thres = float(sim_thres)
         self.max_boxes = max_boxes

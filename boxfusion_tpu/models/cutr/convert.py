@@ -143,10 +143,23 @@ def convert_cutr_checkpoint(sd: Dict, num_layers: int = 6, vit_depth: int = 12) 
 
 def load_checkpoint(path: str):
     """torch .pth -> (flax params, vit width) (demo.py:441-446 parity)."""
+    import os
+
     import torch
 
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"CuTR checkpoint not found: {path} (expected the reference's "
+            "cutr_rgbd.pth torch state dict; see README 'Checkpoints')"
+        )
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
     sd = ckpt["model"] if "model" in ckpt else ckpt
+    key = "backbone.0.patch_embed.proj.weight"  # width sniff (demo.py:442)
+    if key not in sd:
+        raise ValueError(
+            f"{path} does not look like a CuTR state dict: missing '{key}' "
+            f"(found {len(sd)} keys, e.g. {sorted(sd)[:3]})"
+        )
     return convert_cutr_checkpoint(sd)
 
 
