@@ -147,10 +147,18 @@ def main(argv=None) -> int:
     pipe = OnlinePipeline(cfg, detector, labeler=labeler)
     on_frame = on_keyframe = None
     if cfg["vis"]["rerun"]:
+        # 3-pane Blueprint layout like the reference viewer (demo.py:35-65)
         viz.init_recording(getattr(dataset, "video_id", "boxfusion"))
         # live logging like the reference: every frame's camera/image/depth
-        # (demo.py:174-197) + the fused world after each keyframe (demo.py:330)
-        on_frame = lambda frame: viz.log_frame(frame, frame.gt_pose)  # noqa: E731
+        # (demo.py:174-197), optional GT point cloud (demo.py:121-127), and
+        # the fused world after each keyframe (demo.py:330)
+        gt_points = bool(cfg["vis"]["gt_points"])
+
+        def on_frame(frame):
+            viz.log_frame(frame, frame.gt_pose)
+            if gt_points:
+                viz.log_gt_point_cloud(frame)
+
         on_keyframe = lambda world: viz.visualize_online_boxes(  # noqa: E731
             world,
             show_class=bool(cfg["vis"]["show_class"]),

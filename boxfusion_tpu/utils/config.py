@@ -90,6 +90,9 @@ DEFAULTS: Dict[str, Any] = {
         "show_class": False,
         "show_label": False,
         "trajectory": True,
+        # log the GT depth backprojection as a colored world point cloud for
+        # visual comparison (reference demo.py:121-127 viz_on_gt_points)
+        "gt_points": False,
     },
     "eval": False,
 }

@@ -30,13 +30,92 @@ def random_color_v2(t: float):
     return [int(255 * r), int(255 * g), int(255 * b)]
 
 
-def init_recording(video_id: str):
+def make_blueprint(is_depth_model: bool = True):
+    """The reference's 3-pane viewer layout (demo.py:35-65): a World 3D view
+    over an Image pane (with box overlays) and, for RGB-D, a Depth pane."""
+    if not HAS_RERUN:
+        return None
+    import rerun.blueprint as rrb
+
+    return rrb.Blueprint(
+        rrb.Vertical(
+            contents=[
+                rrb.Horizontal(
+                    contents=[
+                        rrb.Spatial3DView(
+                            name="World",
+                            contents=[
+                                "+ $origin/**",
+                                "+ /device/wide/pred_instances/**",
+                            ],
+                            origin="/world",
+                        )
+                    ]
+                ),
+                rrb.Horizontal(
+                    contents=(
+                        [
+                            rrb.Spatial2DView(
+                                name="Image",
+                                origin="/device/wide/image",
+                                contents=[
+                                    "+ $origin/**",
+                                    "+ /device/wide/pred_instances/**",
+                                ],
+                            )
+                        ]
+                        + (
+                            [rrb.Spatial2DView(name="Depth", origin="/device/wide/depth")]
+                            if is_depth_model
+                            else []
+                        )
+                    ),
+                    name="Wide",
+                ),
+            ]
+        )
+    )
+
+
+def init_recording(video_id: str, blueprint=None, is_depth_model: bool = True):
     _trajectory.clear()  # fresh polyline per recording (multi-sequence runs)
     if not HAS_RERUN:
         return None
     rec = rerun.new_recording(application_id=str(video_id), make_default=True)
+    bp = blueprint if blueprint is not None else make_blueprint(is_depth_model)
+    if bp is not None:
+        rec.send_blueprint(bp, make_active=True)
     rerun.spawn()
     return rec
+
+
+def log_gt_point_cloud(frame, max_depth: float = 10.0) -> None:
+    """Backproject the frame's GT depth to a colored world point cloud
+    (reference demo.py:121-127 via tools/utils.py:245-287) under /world/xyz,
+    so predictions can be compared against the scene geometry."""
+    if not HAS_RERUN or frame.depth is None:
+        return
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from boxfusion_tpu.geometry.projection import unproject_depth
+
+    dh, dw = frame.depth.shape[:2]
+    matched = np.asarray(Image.fromarray(frame.image).resize((dw, dh)))
+    xyz, valid = jax.jit(unproject_depth, static_argnames=("max_depth",))(
+        jnp.asarray(frame.depth, jnp.float32),
+        jnp.asarray(frame.K_depth, jnp.float32),
+        jnp.asarray(frame.gt_pose, jnp.float32),
+        max_depth=max_depth,
+    )
+    v = np.asarray(valid)
+    rerun.log(
+        "/world/xyz",
+        rerun.Points3D(
+            positions=np.asarray(xyz)[v], colors=(matched[v] / 255.0)
+        ),
+    )
 
 
 _trajectory: list = []
@@ -46,6 +125,9 @@ def log_frame(frame, pose: np.ndarray) -> None:
     """Log camera pose + image + depth + trajectory (demo.py:174-197)."""
     if not HAS_RERUN:
         return
+    ts = getattr(frame, "timestamp", None)
+    if ts is not None:
+        rerun.set_time_seconds("pts", float(ts))  # demo.py:103
     _trajectory.append(np.asarray(pose[:3, 3], np.float32).copy())
     if len(_trajectory) > 1:
         rerun.log(
