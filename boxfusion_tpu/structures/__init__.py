@@ -1,5 +1,5 @@
 from boxfusion_tpu.structures.instances import Instances
-from boxfusion_tpu.structures.boxes3d import GeneralBoxes3D
+from boxfusion_tpu.structures.boxes3d import DepthBoxes, GeneralBoxes3D
 from boxfusion_tpu.structures.sensor import (
     ImageInfo,
     DepthInfo,
@@ -9,6 +9,7 @@ from boxfusion_tpu.structures.sensor import (
 
 __all__ = [
     "Instances",
+    "DepthBoxes",
     "GeneralBoxes3D",
     "ImageInfo",
     "DepthInfo",
