@@ -1,19 +1,27 @@
 """End-to-end benchmark: online detection + fusion FPS at CA-1M scale.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Workload (mirrors the reference's headline setting, BASELINE.md): posed
-RGB-D stream at CA-1M resolution (512x384 -> 512 square pad), keyframe gap
-20, CuTR ViT-B/16 RGB-D forward per keyframe, full spatial + correspondence
-association and 1024-particle x 20-iteration multi-view PST fusion.  The
-sequence is synthetic (no dataset in the image) and detections come from the
-deterministic oracle so that association/fusion run a realistic box load;
-the CuTR forward is executed (random weights -- identical FLOPs) and timed
-as part of every keyframe.
+Headline workload (the REAL path, mirroring the reference's per-keyframe
+stages demo.py:136-171,262-305): posed RGB-D stream at CA-1M resolution
+(512x384), keyframe gap 20; per keyframe ONE fused device program runs
+CuTR ViT-B/16 RGB-D detection, open-vocab CLIP labeling of the top
+detections, and the device-resident association + 1024-particle multi-view
+PST fusion step (runtime/fused.py).  Model weights are random (identical
+FLOPs to converted checkpoints); the synthetic stream is host-generated.
+
+Secondary figures (extra JSON fields):
+  * stress_fps   -- the oracle-detection association/fusion stress load
+                    (deterministic box workload; CuTR forward timed in the
+                    loop but its detections replaced by the oracle's).
+  * detector_ms / detector_tflops / tflops_per_s / mfu -- the CuTR forward
+    alone: analytic FLOPs from XLA's cost model over measured device time,
+    against the chip's peak (MFU).
 
 vs_baseline: the reference publishes no FPS (BASELINE.md); the paper-level
-claim for the CUDA pipeline is ~10 FPS end-to-end on a desktop GPU, so
-vs_baseline = value / 10.0 until a measured reference number lands.
+claim for the CUDA pipeline is ~10 FPS end-to-end on a desktop GPU
+(including real dataset I/O, which this synthetic bench excludes), so
+vs_baseline = value / 10.0 is an ESTIMATE, labeled as such.
 """
 from __future__ import annotations
 
@@ -22,24 +30,58 @@ import time
 
 import numpy as np
 
+# bf16 peak TFLOP/s per chip by device_kind substring (headline MXU rates).
+_PEAK_TFLOPS = (
+    ("v6e", 918.0),
+    ("v6", 918.0),
+    ("v5p", 459.0),
+    ("v5e", 197.0),
+    ("v5 lite", 197.0),
+    ("v5litepod", 197.0),
+    ("v4", 275.0),
+)
+
+
+def _chip_peak_tflops(device) -> tuple:
+    kind = getattr(device, "device_kind", "unknown").lower()
+    for key, peak in _PEAK_TFLOPS:
+        if key in kind:
+            return peak, kind
+    return 197.0, kind + " (assumed v5e peak)"
+
+
+def _compiled_flops(fn, *args) -> float:
+    """Analytic FLOP count from XLA's cost model (0.0 if unavailable)."""
+    try:
+        cost = fn.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     from boxfusion_tpu.data.synthetic import OracleDetector, SyntheticSequence
+    from boxfusion_tpu.models.clip.head import OpenVocabLabeler
+    from boxfusion_tpu.models.clip.model import CLIPConfig
     from boxfusion_tpu.models.cutr import FrameBatch, make_cutr
-    from boxfusion_tpu.runtime import OnlinePipeline
+    from boxfusion_tpu.runtime.detector import CuTRDetector
+    from boxfusion_tpu.runtime.device_pipeline import DevicePipeline
+    from boxfusion_tpu.runtime.fused import FusedDevicePipeline
     from boxfusion_tpu.utils.config import load_config
 
     on_tpu = jax.default_backend() not in ("cpu",)
+    dtype_tag = "bf16" if on_tpu else "f32"
     dim = 768 if on_tpu else 192
     S, r = (512, 1) if on_tpu else (256, 4)
     n_frames, gap = (400, 20) if on_tpu else (40, 20)
+    n_runs = 5 if on_tpu else 2
 
-    # --- CuTR forward per keyframe (timed inside the loop) -----------------
-    # bf16 compute on TPU (MXU-native, coordinate math stays f32 -- the
-    # production config default); f32 on the CPU fallback.
+    # --- CuTR model (bf16 MXU compute on TPU; f32 CPU fallback) -------------
     model = make_cutr(
         dimension=dim, depth_model=True,
         dtype="bfloat16" if on_tpu else "float32",
@@ -58,22 +100,58 @@ def main() -> None:
     fwd = jax.jit(model.apply)
     jax.block_until_ready(fwd(params, batch))  # compile
 
+    # --- detector microbench: device time, analytic FLOPs, MFU --------------
+    # 20 back-to-back dispatches with a DATA DEPENDENCY chaining each rep to
+    # the previous output: identical independent dispatches measured 3.8x
+    # peak MFU on the tunneled backend (dedup/overlap in the relay), so the
+    # chain forces genuinely serial execution; the queue still keeps the
+    # chip busy (per-call sync would add tunnel RPC latency to every
+    # sample, see docs/TUNNEL_PERF_NOTES.md).
+    import dataclasses as _dc
+
+    @jax.jit
+    def chained(params, batch, eps):
+        out = model.apply(params, _dc.replace(batch, image=batch.image + eps))
+        # dependency scalar folds in EVERY output so XLA cannot dead-code-
+        # eliminate any head (flops counted below are of this same program)
+        dep = sum(jnp.sum(v).astype(jnp.float32) for v in jax.tree.leaves(out))
+        # strictly increasing carry: each rep's input eps is DISTINCT.  A
+        # sub-f32-ulp perturbation rounds away, the calls become bit-identical
+        # and the remote relay memoizes them (measured 3.2x "MFU" that way);
+        # the +1e-3 keeps every execution genuinely unique with no extra
+        # dispatches or host transfers.
+        return dep * 1e-12 + eps + 1e-3
+
+    reps = 20
+    eps = chained(params, batch, jnp.float32(0.0))
+    jax.block_until_ready(eps)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        eps = chained(params, batch, eps)
+    jax.block_until_ready(eps)
+    det_ms = (time.perf_counter() - t0) / reps * 1e3
+    det_flops = _compiled_flops(chained, params, batch, jnp.float32(0.0))
+    tflops_per_s = det_flops / (det_ms * 1e-3) / 1e12 if det_flops else 0.0
+    peak, chip = _chip_peak_tflops(jax.devices()[0])
+    mfu = tflops_per_s / peak if tflops_per_s else 0.0
+    mfu_note = None
+    if mfu > 1.0:
+        # Serially-dependent, numerically-distinct executions sustained more
+        # FLOP/s than the self-reported device kind's peak: the tunnel fronts
+        # newer silicon than it reports.  Achieved TFLOP/s is the honest
+        # figure; MFU against the misreported peak is meaningless.
+        mfu_note = (
+            f"measured {tflops_per_s:.0f} TFLOP/s exceeds the {peak:.0f} "
+            f"TFLOP/s bf16 peak of the self-reported '{chip}' -- the attached "
+            "chip is newer than its device_kind claims; trust tflops_per_s, "
+            "not mfu"
+        )
+
+    # --- shared sequence + config -------------------------------------------
     seq = SyntheticSequence(
         n_frames=n_frames, n_boxes=8, image_hw=(int(0.75 * S), S), seed=0
     )
     frames = list(seq)  # materialize: frame synthesis is not pipeline work
-    oracle = OracleDetector(seq, noise=0.03, seed=1)
-
-    class BenchDetector:
-        """Enqueues the real CuTR forward (its device time is serialized into
-        the measured stream), returns oracle detections so association/fusion
-        see a realistic, deterministic box load."""
-
-        def __call__(self, frame):
-            fwd(params, batch)  # async; device work lands in the timed stream
-            return oracle(frame)
-
-    from boxfusion_tpu.runtime.device_pipeline import DevicePipeline
 
     cfg = load_config("config/ca1m.yaml")
     cfg["data"]._data["gap"] = gap
@@ -86,35 +164,99 @@ def main() -> None:
         cfg["box_fusion"]._data["max_fusions_per_frame"] = 4
         cfg["association"]._data["max_views"] = 5
 
-    # warmup run compiles the device keyframe step (persistent-cached)
-    warm = DevicePipeline(cfg, BenchDetector(), capacity=256)
+    # --- HEADLINE: the real path, one fused dispatch per keyframe -----------
+    # CuTR detection -> CLIP labeling (budget max_label_boxes) -> device
+    # association+fusion, all inside one jitted program (runtime/fused.py).
+    # CLIP image tower at ViT-L/14 scale (the fork's active image model,
+    # reference demo.py:459) with the reference's 473-class text features.
+    if on_tpu:
+        clip_cfg = CLIPConfig(
+            patch=14, width=1024, layers=24, heads=16, embed_dim=1024,
+            dtype=jnp.bfloat16,
+        )
+        n_classes, feat_dim = 473, 1024
+    else:
+        clip_cfg = CLIPConfig(
+            patch=32, width=64, layers=2, heads=2, embed_dim=32,
+            vocab_size=64, context_length=8, text_width=64, text_layers=1, text_heads=2,
+        )
+        n_classes, feat_dim = 8, 32
+    text_features = np.random.RandomState(1).randn(n_classes, feat_dim).astype(np.float32)
+    classes = [f"class{i}" for i in range(n_classes)]
+
+    labeler = OpenVocabLabeler(classes, text_features, cfg=clip_cfg).init_random(0)
+    real_pipe = FusedDevicePipeline(
+        cfg, CuTRDetector(model, params), labeler=labeler, capacity=256
+    )
+
+    # warmup compiles the fused program (persistent-cached); timed runs
+    # reset + reuse the pipeline (fresh state, cached executables)
     for i, frame in enumerate(frames[: 2 * gap + 1]):
         if i % gap == 0:
-            warm.process_keyframe(frame)
-        warm.count += 1
-    warm.flush()
-    jax.block_until_ready(warm.state.n)
+            real_pipe.process_keyframe(frame)
+        real_pipe.count += 1
+    real_pipe.flush()
+    jax.block_until_ready(real_pipe.state.n)
 
-    # median of 5 runs: the tunneled single-chip TPU shows high run-to-run
-    # variance (see docs/TUNNEL_PERF_NOTES.md), and the driver records a
-    # single number
-    fps_runs = []
-    for _ in range(5):
-        # fresh oracle per run: its RNG is consumed per call, and the runs
-        # must measure an identical detection workload
-        oracle = OracleDetector(seq, noise=0.03, seed=1)
-        pipe = DevicePipeline(cfg, BenchDetector(), capacity=256)
-        pipe.run(frames, gap=gap)  # blocks on device state before timing ends
-        fps_runs.append(pipe.fps)
-    fps = float(np.median(fps_runs))
+    real_runs = []
+    for _ in range(n_runs):
+        real_pipe.reset()
+        real_pipe.run(frames, gap=gap)
+        real_runs.append(real_pipe.fps)
+    real_fps = float(np.median(real_runs))
+
+    # --- SECONDARY: oracle-detection stress load ----------------------------
+    class BenchDetector:
+        """Enqueues the real CuTR forward (its device time serializes into
+        the measured stream), returns oracle detections so association and
+        fusion see a deterministic, high-occupancy box load."""
+
+        def __init__(self):
+            self.oracle = OracleDetector(seq, noise=0.03, seed=1)
+
+        def __call__(self, frame):
+            fwd(params, batch)  # async; lands in the timed stream
+            return self.oracle(frame)
+
+    stress_pipe = DevicePipeline(cfg, BenchDetector(), capacity=256)
+    for i, frame in enumerate(frames[: 2 * gap + 1]):
+        if i % gap == 0:
+            stress_pipe.process_keyframe(frame)
+        stress_pipe.count += 1
+    stress_pipe.flush()
+    jax.block_until_ready(stress_pipe.state.n)
+
+    stress_runs = []
+    for _ in range(n_runs):
+        stress_pipe.reset()
+        # fresh oracle per run: its RNG is consumed per call, and runs must
+        # measure an identical detection workload
+        stress_pipe.detector = BenchDetector()
+        stress_pipe.run(frames, gap=gap)
+        stress_runs.append(stress_pipe.fps)
+    stress_fps = float(np.median(stress_runs))
 
     print(
         json.dumps(
             {
-                "metric": f"online e2e FPS (CuTR-{dim} bf16 @ {S}px, gap {gap}, device-resident assoc+fusion)",
-                "value": round(fps, 3),
+                "metric": (
+                    f"online e2e FPS, real path: CuTR-{dim} {dtype_tag} detect + CLIP "
+                    f"label + device-resident assoc+fusion @ {S}px, gap {gap}, one "
+                    "fused dispatch/keyframe (synthetic stream, random weights)"
+                ),
+                "value": round(real_fps, 3),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / 10.0, 3),
+                # ESTIMATE: paper-level ~10 FPS CUDA e2e claim, which includes
+                # dataset I/O this bench excludes (no measured ref run exists).
+                "vs_baseline": round(real_fps / 10.0, 3),
+                "stress_fps_oracle_load": round(stress_fps, 3),
+                "detector_ms": round(det_ms, 3),
+                "detector_gflops": round(det_flops / 1e9, 1),
+                "detector_tflops_per_s": round(tflops_per_s, 2),
+                "detector_mfu": round(mfu, 4),
+                "chip": chip,
+                "chip_peak_tflops_bf16": peak,
+                **({"mfu_note": mfu_note} if mfu_note else {}),
             }
         )
     )

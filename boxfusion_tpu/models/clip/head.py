@@ -137,7 +137,7 @@ class OpenVocabLabeler:
         return feats, sims
 
     def _boost_impl(self, image, boxes, scores, hw, scale, coeff, budget: int,
-                    params=None):
+                    params=None, text_features=None):
         """Device-resident label + score boost over the top-``budget`` rows.
 
         ``boxes``/``scores`` are the detector's top-k outputs (sorted by
@@ -155,15 +155,15 @@ class OpenVocabLabeler:
         Returns (new_scores (N,), categories (N,) int32, feats (budget, D),
         overflow () int32).
         """
-        n_classes = self.text_features.shape[0]
+        tf = jnp.asarray(self.text_features) if text_features is None else text_features
+        n_classes = tf.shape[0]
         b = scale_boxes(boxes[:budget], hw[0], hw[1], scale)
         crops = batched_crop_resize(image, b)
         crops = (crops / 255.0 - jnp.asarray(CLIP_IMAGE_MEAN)) / jnp.asarray(CLIP_IMAGE_STD)
         feats = self.tower.apply(self.params if params is None else params, crops)
         feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
         sims = 100.0 * jnp.matmul(
-            feats, jnp.asarray(self.text_features).T,
-            precision=jax.lax.Precision.HIGHEST,
+            feats, tf.T, precision=jax.lax.Precision.HIGHEST
         )  # (budget, C)
 
         # background column at sim_thres (tools/utils.py:488-494)

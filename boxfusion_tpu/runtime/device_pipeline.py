@@ -140,6 +140,23 @@ class DevicePipeline:
         meta[36] = float(count)
         return meta
 
+    def reset(self) -> None:
+        """Fresh sequence state; compiled programs stay cached.
+
+        Multi-sequence drivers (eval fan-out, benchmarks) MUST reset and
+        reuse one pipeline rather than constructing a new one per sequence:
+        jit caches are keyed on the traced function object, so a fresh
+        instance re-traces (and on cold persistent caches re-compiles) the
+        whole keyframe program."""
+        self.flush()
+        self.state = init_state(
+            capacity=self.state.capacity,
+            max_views=self.state.max_views,
+            obs_capacity=self.state.obs_pose.shape[0],
+        )
+        self.count = 0
+        self._label_overflow = jnp.int32(0)
+
     def flush(self) -> None:
         """Wait for all enqueued keyframe steps to be dispatched (re-raising
         any worker-thread error); device work may still be in flight."""

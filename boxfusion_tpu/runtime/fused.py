@@ -47,6 +47,14 @@ from boxfusion_tpu.runtime.device_step import _keyframe_step_impl
 # META layout, device_step.py:736) | T_gravity 9 | depth_scale 1 | pad 1
 FUSED_META_WIDTH = 48
 
+# Module-level program cache.  jit caches key on the traced function OBJECT,
+# so per-pipeline closures would re-trace (tens of seconds for CuTR+CLIP)
+# for every new pipeline -- e.g. one per sequence in the eval fan-out.  The
+# cache key is purely semantic (model/labeler configs + static scalars);
+# weights and text features ride as call ARGUMENTS, never as closure
+# constants, so one cached program serves any parameter values.
+_PROGRAM_CACHE: Dict[tuple, object] = {}
+
 
 def make_fused_keyframe_fn(
     model,
@@ -68,14 +76,29 @@ def make_fused_keyframe_fn(
 ):
     """Build the jitted fused keyframe program for one shape bucket.
 
-    Returns ``fn(params, clip_params, state, buf, pst) -> (state, overflow)``
-    where ``buf`` is the packed uint8 transfer buffer.  ``clip_params`` is
-    ignored (pass None) when ``labeler`` is None.
+    Returns ``fn(params, clip_params, text_features, state, buf, pst) ->
+    (state, overflow)`` where ``buf`` is the packed uint8 transfer buffer.
+    ``clip_params``/``text_features`` are ignored (pass None) when
+    ``labeler`` is None.
+
+    Programs are cached module-wide on a semantic key, so any number of
+    pipeline instances (one per sequence in eval fan-outs) share one trace.
     """
+    key = (
+        model,
+        None if labeler is None else (labeler.cfg, labeler.text_features.shape,
+                                      labeler.sim_thres),
+        step_cfg, h, w, dh, dw, square, ratio, kmax, depth_mode,
+        label_budget, scale_box, clip_coeff, raw_score_thresh,
+    )
+    cached = _PROGRAM_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     n_img = h * w * 3
     n_dep = dh * dw * (2 if depth_mode == "u16" else 4)
 
-    def fused(params, clip_params, state, buf, pst):
+    def fused(params, clip_params, text_features, state, buf, pst):
         image_u8 = buf[:n_img].reshape(h, w, 3)
         d_raw = buf[n_img : n_img + n_dep]
         if depth_mode == "u16":
@@ -126,6 +149,7 @@ def make_fused_keyframe_fn(
                 jnp.float32(clip_coeff),
                 budget,
                 params=clip_params,
+                text_features=text_features,
             )
             det["scores"] = jnp.where(raw_ok, new_scores, -1e9)
             det["category"] = categories
@@ -159,7 +183,9 @@ def make_fused_keyframe_fn(
         )
         return state, overflow
 
-    return jax.jit(fused)
+    fn = jax.jit(fused)
+    _PROGRAM_CACHE[key] = fn
+    return fn
 
 
 class FusedDevicePipeline(DevicePipeline):
@@ -186,6 +212,7 @@ class FusedDevicePipeline(DevicePipeline):
         self.depth_mode = depth_mode
         self.depth_scale = float(depth_scale)
         self._fused_fns: Dict[tuple, object] = {}
+        self._text_features_dev = None
         if labeler is not None:
             self.class_list = list(labeler.class_list) + [""]
 
@@ -243,10 +270,19 @@ class FusedDevicePipeline(DevicePipeline):
 
     def _fused_step(self, fn, buf: np.ndarray) -> None:
         try:
-            clip_params = self.labeler.params if self.labeler is not None else None
+            if self.labeler is not None:
+                clip_params = self.labeler.params
+                if self._text_features_dev is None:
+                    self._text_features_dev = jax.device_put(
+                        np.asarray(self.labeler.text_features, np.float32)
+                    )
+                tf = self._text_features_dev
+            else:
+                clip_params = tf = None
             self.state, overflow = fn(
                 self.detector.params,
                 clip_params,
+                tf,
                 self.state,
                 jax.device_put(buf),
                 self.pst,
