@@ -62,6 +62,10 @@ def _compiled_flops(fn, *args) -> float:
 
 
 def main() -> None:
+    from boxfusion_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # fused-program compile is minutes; one-time per machine
+
     import jax
     import jax.numpy as jnp
 

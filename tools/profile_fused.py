@@ -36,6 +36,10 @@ def _timeit(fn, *args, reps=10, **kw):
 
 
 def main():
+    from boxfusion_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 
