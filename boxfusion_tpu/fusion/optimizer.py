@@ -42,6 +42,11 @@ class PSTOptConfig:
     min_scale: float = 1e-3
     fail_limit: int = 3
     fitness_impl: str = "auto"  # "pallas" | "xla" | "auto"
+    # True: run the fixed `iters` iterations as straight-line code (no
+    # while_loop primitive).  Identical trajectory -- the body freezes
+    # converged lanes -- but required on backends whose while-loop dispatch
+    # is pathological (docs/TUNNEL_PERF_NOTES.md).
+    unroll: bool = False
 
 
 def init_opt_params(box_3d: jnp.ndarray, R: jnp.ndarray, scores: jnp.ndarray, mask: jnp.ndarray):
@@ -177,12 +182,20 @@ def optimize_boxes(
             ~active,  # inactive slots are born converged
             jnp.int32(0),
         )
-        # while-loop with early exit: identical trajectory to the reference's
-        # fixed loop (converged state is frozen anyway) but stops paying for
-        # iterations once this object is done.
-        xyzlhw, *_, need_update, _, _ = jax.lax.while_loop(
-            lambda s: (s[7] < cfg.iters) & ~s[6], body, state
-        )
+        if cfg.unroll:
+            # straight-line iterations: the body freezes done lanes (updates
+            # are masked by `done`), so the trajectory is identical to the
+            # early-exit loop below -- just without the while_loop primitive.
+            for _ in range(cfg.iters):
+                state = body(state)
+            xyzlhw, *_, need_update, _, _ = state
+        else:
+            # while-loop with early exit: identical trajectory to the
+            # reference's fixed loop (converged state is frozen anyway) but
+            # stops paying for iterations once this object is done.
+            xyzlhw, *_, need_update, _, _ = jax.lax.while_loop(
+                lambda s: (s[7] < cfg.iters) & ~s[6], body, state
+            )
         # final dims clamp (box_fusion.py:716-720), applied only when fused.
         dims = jnp.maximum(xyzlhw[3:], 0.01)
         fused = jnp.concatenate([xyzlhw[:3], dims])

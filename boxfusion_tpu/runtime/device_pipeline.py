@@ -27,10 +27,23 @@ from boxfusion_tpu.runtime.device_step import (
 )
 
 
+def resolve_engine(cfg) -> str:
+    """Resolve association.engine: "auto" -> "unrolled" on the axon tunnel
+    (its while-loop dispatch path permanently degrades the process,
+    docs/TUNNEL_PERF_NOTES.md), "loops" on healthy backends."""
+    engine = str(cfg["association"]["engine"]) if "engine" in cfg["association"] else "auto"
+    if engine == "auto":
+        engine = "unrolled" if jax.default_backend() == "axon" else "loops"
+    if engine not in ("loops", "unrolled"):
+        raise ValueError(f"association.engine must be auto|loops|unrolled, got {engine}")
+    return engine
+
+
 def step_config_from(cfg) -> StepConfig:
     bf = cfg["box_fusion"]
     ro = bf["random_opt"]
     det = cfg["detection"]
+    engine = resolve_engine(cfg)
     return StepConfig(
         score_thresh=float(det["score_thresh"]),
         uv_bound=bool(det["uv_bound"]),
@@ -47,12 +60,14 @@ def step_config_from(cfg) -> StepConfig:
         max_fusions=int(bf["max_fusions_per_frame"]),
         check_valid=bool(bf["check_valid"]),
         gap=int(cfg["data"]["gap"]),
+        engine=engine,
         opt=PSTOptConfig(
             iters=int(bf["iters"]),
             center_init_size=float(ro["center_init_size"]),
             center_scaling_coefficient=float(ro["center_scaling_coefficient"]),
             shape_init_size=float(ro["shape_init_size"]),
             shape_scaling_coefficient=float(ro["shape_scaling_coefficient"]),
+            unroll=engine == "unrolled",
         ),
     )
 

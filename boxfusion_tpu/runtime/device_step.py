@@ -76,6 +76,13 @@ class StepConfig:
     grid_samples: int = 25
     check_valid: bool = False  # drop never-re-observed boxes (box_manager.py:151-166)
     gap: int = 20
+    # Loop engine: "loops" = lax.while_loop NMS/correspondence (compact HLO,
+    # fast compiles -- the right choice on CPU and healthy backends);
+    # "unrolled" = straight-line cond-gated replay with IDENTICAL decisions,
+    # for backends whose while-loop dispatch path is pathological (the axon
+    # tunnel degradation, docs/TUNNEL_PERF_NOTES.md).  Pipelines resolve
+    # "auto" per backend before constructing this config.
+    engine: str = "loops"
     opt: PSTOptConfig = PSTOptConfig()
 
 
@@ -128,47 +135,62 @@ def _merge_sorted(row_a, count_a, row_b, count_b, max_views):
 # greedy NMS + record (instances.py:22-101, box_manager.py:40-88)
 # ---------------------------------------------------------------------------
 
-def _record_one(state: DeviceState, keep, i, j, cfg: StepConfig):
-    """Process one suppressed box j against survivor i (box_manager.py:48-87)."""
-    V = state.max_views
-    center_i = state.xyzlhw[i, :3]
-    center_j = state.xyzlhw[j, :3]
-    center_far = jnp.linalg.norm(center_i - center_j) > 0.5
+def _record_core(flist, fcount, fflag, keep, i, j, extra, obs_pose, init_id,
+                 cfg: StepConfig):
+    """Process one suppressed/merged box j against survivor i -- the shared
+    bookkeeping of record (box_manager.py:48-87) and record_corr
+    (box_manager.py:90-129).  ``extra`` is the center-distance escape hatch
+    of record (box_manager.py:53-55); record_corr passes False.
 
-    is_single = state.fcount[j] == 1
+    Operates on the small mutable field set only (flist/fcount/fflag/keep) so
+    the unrolled engine can thread exactly these through its cond chain."""
+    V = flist.shape[1]
+    obs_cap = obs_pose.shape[0]
+    is_single = fcount[j] == 1
+
+    def members_differ(list_slot, pose_ref):
+        row = flist[list_slot]
+        idx = jnp.clip(row, 0, obs_cap - 1)
+        differs = _pose_differs(obs_pose[idx], pose_ref, cfg) | extra
+        m = jnp.arange(V) < fcount[list_slot]
+        return jnp.all(jnp.where(m, differs, True))
 
     # case A: j is a fresh observation -> maybe append its init_id to i's list
-    pose_j = state.obs_pose[jnp.clip(state.init_id[j], 0, state.obs_pose.shape[0] - 1)]
-    differ_a = _all_members_differ(state, i, pose_j, center_far, cfg)
-    apply_a = is_single & differ_a & (state.fcount[i] < 5)
+    pose_j = obs_pose[jnp.clip(init_id[j], 0, obs_cap - 1)]
+    differ_a = members_differ(i, pose_j)
+    apply_a = is_single & differ_a & (fcount[i] < 5)
 
-    row_a = _insert_sorted(state.flist[i], state.fcount[i], state.init_id[j])
+    row_a = _insert_sorted(flist[i], fcount[i], init_id[j])
 
     # case B: j is a multi-view box -> maybe merge its list into i's
-    pose_i = state.obs_pose[jnp.clip(state.init_id[i], 0, state.obs_pose.shape[0] - 1)]
-    differ_b = _all_members_differ(state, j, pose_i, center_far, cfg)
-    mergeable = differ_b & (state.fcount[j] < 5)
+    pose_i = obs_pose[jnp.clip(init_id[i], 0, obs_cap - 1)]
+    differ_b = members_differ(j, pose_i)
+    mergeable = differ_b & (fcount[j] < 5)
     apply_b = (~is_single) & mergeable
     swap_b = (~is_single) & (~mergeable)
 
-    row_b, count_b = _merge_sorted(
-        state.flist[i], state.fcount[i], state.flist[j], state.fcount[j], V
-    )
+    row_b, count_b = _merge_sorted(flist[i], fcount[i], flist[j], fcount[j], V)
 
-    new_row = jnp.where(apply_a, row_a, jnp.where(apply_b, row_b, state.flist[i]))
-    new_count = jnp.where(
-        apply_a, state.fcount[i] + 1, jnp.where(apply_b, count_b, state.fcount[i])
-    )
-    flist = jax.lax.dynamic_update_slice(state.flist, new_row[None], (i, 0))
-    fcount = state.fcount.at[i].set(new_count)
+    new_row = jnp.where(apply_a, row_a, jnp.where(apply_b, row_b, flist[i]))
+    new_count = jnp.where(apply_a, fcount[i] + 1, jnp.where(apply_b, count_b, fcount[i]))
+    flist = jax.lax.dynamic_update_slice(flist, new_row[None], (i, 0))
+    fcount = fcount.at[i].set(new_count)
 
     # keep-swap (box_manager.py:79-83): old multi-view box wins over cur.
     do_swap = swap_b & keep[i]
     keep = keep.at[i].set(jnp.where(do_swap, False, keep[i]))
     keep = keep.at[j].set(jnp.where(do_swap, True, keep[j]))
 
-    fflag = state.fflag.at[i].set(
-        state.fflag[i] | ((~is_single) & state.fflag[j])
+    fflag = fflag.at[i].set(fflag[i] | ((~is_single) & fflag[j]))
+    return flist, fcount, fflag, keep
+
+
+def _record_one(state: DeviceState, keep, i, j, cfg: StepConfig):
+    """Process one suppressed box j against survivor i (box_manager.py:48-87)."""
+    center_far = jnp.linalg.norm(state.xyzlhw[i, :3] - state.xyzlhw[j, :3]) > 0.5
+    flist, fcount, fflag, keep = _record_core(
+        state.flist, state.fcount, state.fflag, keep, i, j, center_far,
+        state.obs_pose, state.init_id, cfg,
     )
     return dataclasses.replace(state, flist=flist, fcount=fcount, fflag=fflag), keep
 
@@ -240,6 +262,111 @@ def _nms_greedy(state: DeviceState, cfg: StepConfig):
         outer_body,
         (state, contested, isolated, jnp.zeros(G, bool)),
     )
+    return state, keep, success
+
+
+def _score_rank(scores):
+    """rank[slot] = pick position under score-descending order with ties
+    broken by LARGER slot index -- the total order realized by repeatedly
+    calling ``_argmax_score_desc`` (reference ``scores.argsort()[::-1]``,
+    instances.py:52).  A stable ascending argsort keeps ties in ascending
+    slot order; reversing it yields score-descending, ties slot-descending."""
+    order = jnp.argsort(scores, stable=True)[::-1]
+    return jnp.argsort(order)
+
+
+def _nms_greedy_unrolled(state: DeviceState, cfg: StepConfig):
+    """``_nms_greedy`` without loop primitives (straight-line HLO).
+
+    Identical decisions to the ``lax.while_loop`` engine, restructured for
+    backends where while-loop dispatch is pathological (the tunnel
+    degradation of docs/TUNNEL_PERF_NOTES.md -- fixed-trip scans poison
+    identically, fully unrolled programs stay clean):
+
+      phase 1: the greedy survivor set and each suppressed box's suppressor
+        are pure functions of (score order, IoU cache) -- keep-swaps inside
+        ``record`` never touch the ``remaining`` mask -- so they are computed
+        by a Jacobi fixed-point ladder (after t sweeps every box whose
+        suppressor-dependency depth <= t is settled; G sweeps are exact,
+        convergence is detected and later sweeps skip via ``lax.cond``);
+      phase 2: the manager bookkeeping IS order-sensitive (box_manager.py:
+        40-88 mutates fusion lists the next record reads), so records replay
+        in the exact loop order -- (survivor pick order, then score-desc
+        within a survivor's batch) -- as a chain of cond-gated bodies that
+        thread only the small mutable fields.
+    """
+    G = state.capacity
+    slot_valid = jnp.arange(G) < state.n
+
+    pair_on = (
+        (state.iou > cfg.nms_threshold)
+        & slot_valid[None, :]
+        & slot_valid[:, None]
+    )
+    contested = jnp.any(pair_on, axis=1) | jnp.any(pair_on, axis=0)
+    isolated = slot_valid & ~contested
+
+    rank = _score_rank(state.scores)
+    earlier = rank[:, None] < rank[None, :]
+    # M[s, i]: survivor s would suppress i (row-of-s IoU, like the loop's
+    # ``state.iou[i] * remaining`` with i as the picked survivor; the cache
+    # may be asymmetric under pair-budget truncation)
+    M = pair_on & earlier
+
+    # phase 1: Jacobi sweeps to the greedy fixed point, cond-skipped once
+    # converged (a reached fixed point persists; G sweeps bound the depth)
+    def sweep(c):
+        surv, _ = c
+        hit = jnp.any(M & surv[:, None], axis=0)
+        new = contested & ~hit
+        return new, jnp.any(new != surv)
+
+    c = (contested, jnp.bool_(True))
+    for _ in range(G):
+        c = jax.lax.cond(c[1], sweep, lambda a: a, c)
+    surv = c[0]
+
+    suppressed = contested & ~surv
+    # suppressor(j) = earliest-pick survivor with M[s, j] (greedy removes j
+    # from ``remaining`` at its first suppression)
+    sup_key = jnp.where(M & surv[:, None], rank[:, None], 2 * G)
+    sup_of = jnp.argmin(sup_key, axis=0)
+
+    # per-survivor side effects of the outer loop (once per pick)
+    got = jnp.zeros(G, jnp.float32).at[sup_of].add(
+        jnp.where(suppressed, 1.0, 0.0)
+    )
+    any_supp = got > 0
+    state = dataclasses.replace(
+        state, valid_num=state.valid_num + jnp.where(any_supp, 1.0, 0.0)
+    )
+    success = any_supp
+    keep = isolated | surv
+
+    # phase 2: replay records in loop order (survivor rank, then box rank)
+    big = jnp.int32(2 * G * G)
+    prio = jnp.where(suppressed, rank[sup_of] * G + rank, big)
+
+    def rec(c):
+        flist, fcount, fflag, keep, prio = c
+        j = jnp.argmin(prio)
+        i = sup_of[j]
+        prio = prio.at[j].set(big)
+        center_far = (
+            jnp.linalg.norm(state.xyzlhw[i, :3] - state.xyzlhw[j, :3]) > 0.5
+        )
+        flist, fcount, fflag, keep = _record_core(
+            flist, fcount, fflag, keep, i, j, center_far,
+            state.obs_pose, state.init_id, cfg,
+        )
+        return flist, fcount, fflag, keep, prio
+
+    c = (state.flist, state.fcount, state.fflag, keep, prio)
+    for _ in range(G):
+        c = jax.lax.cond(jnp.min(c[4]) < big, rec, lambda a: a, c)
+    flist, fcount, fflag, keep, _ = c
+
+    state = dataclasses.replace(state, flist=flist, fcount=fcount, fflag=fflag)
     return state, keep, success
 
 
@@ -343,6 +470,81 @@ def _correspondence(state, keep, success, n_before, proj2d, cfg: StepConfig):
         return pending, state, keep
 
     _, state, keep = jax.lax.while_loop(cond, body, (small_new, state, keep))
+    return state, keep
+
+
+def _correspondence_unrolled(state, keep, success, n_before, proj2d, cfg: StepConfig,
+                             kmax: int):
+    """``_correspondence`` without loop primitives (see ``_nms_greedy_unrolled``).
+
+    The pending set is fixed at entry (small NEW kept boxes, instances.py:424)
+    and only shrinks, so the while-loop is replaced by ``kmax`` cond-gated
+    bodies (at most one pending box per appended detection), each threading
+    the small mutable fields."""
+    G = state.capacity
+    slot = jnp.arange(G)
+
+    global_keep = keep & (slot < n_before)
+    small_dims_g = jnp.max(state.xyzlhw[:, 3:], axis=-1) < (cfg.small_size + 0.1)
+
+    is_new = slot >= n_before
+    small_new = (
+        keep
+        & is_new
+        & (jnp.max(state.xyzlhw[:, 3:], axis=-1) <= cfg.small_size)
+        & ~success
+        & (slot < state.n)
+    )
+    have_globals = jnp.any(global_keep)
+
+    def body(c):
+        pending, flist, fcount, fflag, keep, valid_num = c
+        s = jnp.argmin(jnp.where(pending, slot, G + 1))  # ascending slot order
+        pending = pending.at[s].set(False)
+
+        iou = _iou2d_one_vs_rows(state.pred_boxes[s], proj2d)
+        iou = jnp.where(global_keep & small_dims_g, iou, 0.0)
+        best = jnp.argmax(iou)
+        hit = iou[best] > cfg.small_threshold
+
+        new_wins = state.scores[best] < state.scores[s]
+        no_extra = jnp.bool_(False)
+
+        def do_new_wins(args):
+            flist, fcount, fflag, keep, valid_num = args
+            keep = keep.at[best].set(False)
+            valid_num = valid_num.at[s].add(1.0)
+            flist, fcount, fflag, keep = _record_core(
+                flist, fcount, fflag, keep, s, best, no_extra,
+                state.obs_pose, state.init_id, cfg,
+            )
+            return flist, fcount, fflag, keep, valid_num
+
+        def do_old_wins(args):
+            flist, fcount, fflag, keep, valid_num = args
+            keep = keep.at[s].set(False)
+            valid_num = valid_num.at[best].add(1.0)
+            flist, fcount, fflag, keep = _record_core(
+                flist, fcount, fflag, keep, best, s, no_extra,
+                state.obs_pose, state.init_id, cfg,
+            )
+            return flist, fcount, fflag, keep, valid_num
+
+        def do_hit(args):
+            return jax.lax.cond(new_wins, do_new_wins, do_old_wins, args)
+
+        flist, fcount, fflag, keep, valid_num = jax.lax.cond(
+            hit, do_hit, lambda a: a, (flist, fcount, fflag, keep, valid_num)
+        )
+        return pending, flist, fcount, fflag, keep, valid_num
+
+    c = (small_new, state.flist, state.fcount, state.fflag, keep, state.valid_num)
+    for _ in range(min(kmax, G)):
+        c = jax.lax.cond(jnp.any(c[0]) & have_globals, body, lambda a: a, c)
+    _, flist, fcount, fflag, keep, valid_num = c
+    state = dataclasses.replace(
+        state, flist=flist, fcount=fcount, fflag=fflag, valid_num=valid_num
+    )
     return state, keep
 
 
@@ -685,7 +887,10 @@ def _keyframe_step_impl(
         first_frame = n_before == 0
 
         def assoc(state):
-            state, keep, success = _nms_greedy(state, cfg)
+            if cfg.engine == "unrolled":
+                state, keep, success = _nms_greedy_unrolled(state, cfg)
+            else:
+                state, keep, success = _nms_greedy(state, cfg)
 
             # 2D projections of the pre-NMS global set for correspondence
             proj2d = project_boxes_to_2d(
@@ -693,8 +898,14 @@ def _keyframe_step_impl(
             )
             any_new_kept = jnp.any(keep & is_new)
 
+            kmax = det["scores"].shape[0]
+
             def corr(args):
                 state, keep = args
+                if cfg.engine == "unrolled":
+                    return _correspondence_unrolled(
+                        state, keep, success, n_before, proj2d, cfg, kmax
+                    )
                 return _correspondence(state, keep, success, n_before, proj2d, cfg)
 
             state, keep = jax.lax.cond(

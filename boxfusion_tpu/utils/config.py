@@ -67,6 +67,12 @@ DEFAULTS: Dict[str, Any] = {
         "max_global_boxes": 512,
         "max_observations": 4096,
         "max_views": 10,
+        # Loop engine for the device keyframe step: "auto" picks "unrolled"
+        # (straight-line cond-gated replay, identical decisions) on the axon
+        # tunnel -- whose while-loop dispatch path degrades the whole process
+        # (docs/TUNNEL_PERF_NOTES.md) -- and "loops" (lax.while_loop)
+        # everywhere else.
+        "engine": "auto",
     },
     "box_fusion": {
         "use": True,
