@@ -27,13 +27,30 @@ from boxfusion_tpu.runtime.device_step import (
 )
 
 
+def _on_axon_tunnel() -> bool:
+    """The axon relay registers as platform "tpu"; its plugin identity shows
+    only in the PJRT client version string (and the backend registry key)."""
+    try:
+        dev = jax.devices()[0]
+        if "axon" in getattr(dev.client, "platform_version", "").lower():
+            return True
+    except Exception:
+        pass
+    try:
+        import jax._src.xla_bridge as xb
+
+        return "axon" in xb.backends() and jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
 def resolve_engine(cfg) -> str:
     """Resolve association.engine: "auto" -> "unrolled" on the axon tunnel
     (its while-loop dispatch path permanently degrades the process,
     docs/TUNNEL_PERF_NOTES.md), "loops" on healthy backends."""
     engine = str(cfg["association"]["engine"]) if "engine" in cfg["association"] else "auto"
     if engine == "auto":
-        engine = "unrolled" if jax.default_backend() == "axon" else "loops"
+        engine = "unrolled" if _on_axon_tunnel() else "loops"
     if engine not in ("loops", "unrolled"):
         raise ValueError(f"association.engine must be auto|loops|unrolled, got {engine}")
     return engine
@@ -306,7 +323,16 @@ class DevicePipeline:
         self.state = restore_pipeline_state(path)
         self.count = count
 
-    def run(self, dataset, gap: Optional[int] = None, verbose: bool = False):
+    def run(self, dataset, gap: Optional[int] = None, verbose: bool = False,
+            export: bool = True):
+        """Stream ``dataset``; returns the exported world (or None).
+
+        ``export=False`` skips the end-of-sequence host readback entirely --
+        required between back-to-back benchmark runs: ANY device-to-host
+        transfer of a computed buffer (even a 4-byte scalar) permanently
+        flips the tunneled backend into its ~30x-degraded dispatch mode
+        (docs/TUNNEL_PERF_NOTES.md), so timed runs must stay D2H-free and
+        export once at the very end.  ``block_until_ready`` is safe."""
         gap = int(self.cfg["data"]["gap"]) if gap is None else gap
         start = time.time()
         for frame in dataset:
@@ -318,7 +344,14 @@ class DevicePipeline:
         duration = time.time() - start
         self.fps = self.count / max(duration, 1e-9)
         print(f"Cost: {duration:.2f} s Average FPS: {self.fps:.2f}")
-        overflow = int(self._label_overflow)
+        if not export:
+            return None
+        world = export_world(self.state, class_list=self.class_list)
+        st = world["stats"]
+        # two overflow sources: the eager per-call counter (devdet/host paths)
+        # and stats[4] accumulated inside the fused program (fused.py)
+        overflow = int(self._label_overflow) + st["label_overflow"]
+        st["label_overflow"] = overflow
         if overflow:
             print(
                 f"[boxfusion-tpu] WARNING: {overflow} detections exceeded the "
@@ -326,8 +359,6 @@ class DevicePipeline:
                 "unboosted with the background label; raise the budget to "
                 "label every box like the reference."
             )
-        world = export_world(self.state, class_list=self.class_list)
-        st = world["stats"]
         if st["dropped_world_capacity"] or st["dropped_obs_capacity"]:
             print(
                 "[boxfusion-tpu] WARNING: capacity overflow dropped "

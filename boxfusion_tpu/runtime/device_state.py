@@ -61,8 +61,10 @@ class DeviceState:
     # [0] detections dropped because the world set was full,
     # [1] detections dropped because the observation bank was full,
     # [2] containment-gated IoU pairs truncated by max_gated_pairs,
-    # [3] keyframes processed.
-    stats: jnp.ndarray       # (4,) int32
+    # [3] keyframes processed,
+    # [4] detections past the CLIP label budget (fused path; left unboosted
+    #     with the background label -- see models/clip/head.py).
+    stats: jnp.ndarray       # (5,) int32
 
     def tree_flatten(self):
         fields = dataclasses.fields(self)
@@ -106,7 +108,7 @@ def init_state(capacity: int = 512, max_views: int = 10, obs_capacity: int = 409
         obs_score=jnp.zeros((M,), f32),
         obs_corners2d=jnp.zeros((M, 8, 2), f32),
         obs_n=jnp.int32(0),
-        stats=jnp.zeros((4,), jnp.int32),
+        stats=jnp.zeros((5,), jnp.int32),
     )
 
 
@@ -132,6 +134,7 @@ def export_world(state: DeviceState, class_list=None) -> Dict[str, np.ndarray]:
             "dropped_obs_capacity": int(state.stats[1]),
             "truncated_gated_pairs": int(state.stats[2]),
             "keyframes": int(state.stats[3]),
+            "label_overflow": int(state.stats[4]),
         },
     }
     if class_list is not None:

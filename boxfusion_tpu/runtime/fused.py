@@ -77,9 +77,13 @@ def make_fused_keyframe_fn(
     """Build the jitted fused keyframe program for one shape bucket.
 
     Returns ``fn(params, clip_params, text_features, state, buf, pst) ->
-    (state, overflow)`` where ``buf`` is the packed uint8 transfer buffer.
-    ``clip_params``/``text_features`` are ignored (pass None) when
-    ``labeler`` is None.
+    state`` where ``buf`` is the packed uint8 transfer buffer.  The CLIP
+    label-budget overflow count folds into ``state.stats[4]`` INSIDE the
+    program: reading any computed value back mid-sequence (even a 4-byte
+    scalar) flips the tunneled backend into its degraded mode
+    (docs/TUNNEL_PERF_NOTES.md "D2H of computed buffers"), so nothing may
+    force a D2H until end-of-sequence export.  ``clip_params``/
+    ``text_features`` are ignored (pass None) when ``labeler`` is None.
 
     Programs are cached module-wide on a semantic key, so any number of
     pipeline instances (one per sequence in eval fan-outs) share one trace.
@@ -130,7 +134,6 @@ def make_fused_keyframe_fn(
             if k in ("scores", "pred_boxes", "boxes3d", "R", "proj_xy")
         }
 
-        overflow = jnp.int32(0)
         if labeler is not None:
             image_dev = batch.image[0] * jnp.asarray(PIXEL_STD_U8) + jnp.asarray(
                 PIXEL_MEAN_U8
@@ -153,6 +156,9 @@ def make_fused_keyframe_fn(
             )
             det["scores"] = jnp.where(raw_ok, new_scores, -1e9)
             det["category"] = categories
+            state = dataclasses.replace(
+                state, stats=state.stats.at[4].add(overflow)
+            )
 
         # pad/truncate to the step's static detection budget
         n = int(det["scores"].shape[0])
@@ -181,7 +187,7 @@ def make_fused_keyframe_fn(
         state = _keyframe_step_impl(
             state, det, pst, pose, K_img, K_depth, image_hw, frame_idx, step_cfg
         )
-        return state, overflow
+        return state
 
     fn = jax.jit(fused)
     _PROGRAM_CACHE[key] = fn
@@ -279,7 +285,9 @@ class FusedDevicePipeline(DevicePipeline):
                 tf = self._text_features_dev
             else:
                 clip_params = tf = None
-            self.state, overflow = fn(
+            # label-budget overflow rides in state.stats[4]; NO eager ops or
+            # D2H here (a mid-sequence D2H degrades the tunnel permanently)
+            self.state = fn(
                 self.detector.params,
                 clip_params,
                 tf,
@@ -287,7 +295,6 @@ class FusedDevicePipeline(DevicePipeline):
                 jax.device_put(buf),
                 self.pst,
             )
-            self._label_overflow = self._label_overflow + overflow
         except BaseException as e:  # surfaced on the next submit/flush
             self._worker_error = e
             raise

@@ -94,7 +94,14 @@ def main():
             image, det_boxes, scores, hw, jnp.float32(1.5), jnp.float32(0.0), 32
         )
 
-    print(f"4. label boost full:    {_timeit(boost):8.2f} ms")
+    # NOTE: compiling _boost STANDALONE reproducibly kills the relay's
+    # remote_compile channel (Broken pipe) on the tunneled chip, while the
+    # same logic compiles fine inside the fused program.  Keep it optional.
+    import os
+    if os.environ.get("PROFILE_BOOST"):
+        print(f"4. label boost full:    {_timeit(boost):8.2f} ms")
+    else:
+        print("4. label boost full:    skipped (PROFILE_BOOST=1 to enable)")
 
     cfg = load_config("config/ca1m.yaml")
     cfg["data"]._data["gap"] = 20
