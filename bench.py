@@ -266,6 +266,7 @@ def main() -> None:
 
     world = export_world(real_pipe.state, class_list=real_pipe.class_list)
     world_boxes = int(world["scores"].shape[0])
+    world_stats = {k: int(v) for k, v in world["stats"].items()}
 
     print(
         json.dumps(
@@ -282,7 +283,10 @@ def main() -> None:
                 # dataset I/O this bench excludes (no measured ref run exists).
                 "vs_baseline": round(real_fps / 10.0, 3),
                 "stress_fps_oracle_load": round(stress_fps, 3),
+                # no-silent-caps: the random-box load saturates the 256-slot
+                # world (real scenes hold far fewer objects); drops are counted
                 "world_boxes_final_run": world_boxes,
+                "world_stats_final_run": world_stats,
                 "detector_ms": round(det_ms, 3),
                 "detector_gflops": round(det_flops / 1e9, 1),
                 "detector_tflops_per_s": round(tflops_per_s, 2),

@@ -255,8 +255,12 @@ class FusedDevicePipeline(DevicePipeline):
         buf = np.empty(n_img + n_dep + FUSED_META_WIDTH * 4, np.uint8)
         buf[:n_img] = np.ascontiguousarray(frame.image, np.uint8).reshape(-1)
         if self.depth_mode == "u16":
+            # f32 throughout: scale+round-half-up+clip in one fused pass
+            # (a float64 detour here measurably costs host time per keyframe;
+            # f32 holds every integer to 2^24 so the 0..65535 result is exact)
             d = np.clip(
-                np.round(np.asarray(frame.depth, np.float64) * self.depth_scale),
+                np.asarray(frame.depth, np.float32) * np.float32(self.depth_scale)
+                + np.float32(0.5),
                 0,
                 65535,
             ).astype("<u2")

@@ -41,6 +41,18 @@ batch = FrameBatch(
 )
 params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
 
+
+# same class-head bias calibration as bench.py: ~40-100 detections/keyframe
+# pass the raw 0.3 score filter (random init passes zero)
+def _lift_bias(path, leaf):
+    keys = [getattr(p, "key", "") for p in path]
+    if any("class_predictor" in k for k in keys) and keys[-1] == "bias":
+        return leaf + 3.2
+    return leaf
+
+
+params = jax.tree_util.tree_map_with_path(_lift_bias, params)
+
 seq = SyntheticSequence(n_frames=400, n_boxes=8, image_hw=(int(0.75 * S), S), seed=0)
 frames = list(seq)
 
