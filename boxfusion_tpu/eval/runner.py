@@ -4,10 +4,20 @@ Capability target: the reference's batch-eval workflow -- one demo.py
 invocation per val.txt sequence with skip-if-exists resume (demo.py:434-436)
 -- plus the TPU-parallel fan-out SURVEY.md section 2 calls for: sequences
 are embarrassingly parallel, so on a multi-device host each device runs its
-own device-resident pipeline and sequences are scheduled round-robin
-(``jax.default_device`` pins each pipeline's state and steps to one chip;
-no collectives are needed -- results are gathered as host pickles exactly
-like the reference).
+own device-resident pipeline and sequences are scheduled round-robin (the
+pipeline is PINNED to its device -- uploads happen on a worker thread where
+a thread-local ``jax.default_device`` context would not apply); no
+collectives are needed -- results are gathered as host pickles exactly like
+the reference.
+
+Two-phase structure: phase 1 streams every sequence with ``export=False``
+and stashes each final ``DeviceState`` (a few MB of device arrays); phase 2
+exports, pickles, and scores them all.  Rationale: on tunneled backends ANY
+device-to-host readback of a computed buffer permanently degrades dispatch
+(docs/TUNNEL_PERF_NOTES.md "D2H of computed buffers"), so a per-sequence
+export would run every sequence after the first in the ~30x-degraded mode.
+Deferring exports keeps the whole fan-out at full speed and costs only the
+stashed states' device memory.
 """
 from __future__ import annotations
 
@@ -44,7 +54,10 @@ def evaluate_sequences(
 
     Args:
       sequences: iterables of Frames (each must have ``video_id``).
-      detector_factory: sequence -> detector callable.
+      detector_factory: sequence -> detector callable.  Called under
+        ``jax.default_device(dev)`` for the sequence's assigned device, so
+        a factory that uploads weights with ``jax.device_put`` places them
+        correctly.
       gt_provider: optional sequence -> (G, 8, 3) GT world corners; enables
         AP computation.
       output_dir: if set, per-sequence fused-box pickles are written in the
@@ -56,12 +69,15 @@ def evaluate_sequences(
     """
     from boxfusion_tpu.eval.ap3d import average_precision_3d
     from boxfusion_tpu.runtime.device_pipeline import DevicePipeline
+    from boxfusion_tpu.runtime.device_state import export_world
     from boxfusion_tpu.utils.io import save_box
 
     devices = devices or jax.devices()
-    results = []
+    pipes: Dict[int, DevicePipeline] = {}  # one long-lived pipeline per device
+    stashed = []  # (video_id, final DeviceState, fps, seq, out_path)
     t0 = time.time()
 
+    # --- phase 1: stream every sequence, D2H-free --------------------------
     for i, seq in enumerate(sequences):
         video_id = getattr(seq, "video_id", f"seq{i}")
         out_path = (
@@ -71,16 +87,40 @@ def evaluate_sequences(
             print(f"[eval] {video_id}: output exists, skipping")
             continue
 
-        dev = devices[i % len(devices)]
-        with jax.default_device(dev):
-            pipe = DevicePipeline(cfg, detector_factory(seq), capacity=capacity)
-            world = pipe.run(seq)
+        di = i % len(devices)
+        dev = devices[di]
+        with jax.default_device(dev):  # detector calls run on this thread
+            pipe = pipes.get(di)
+            if pipe is None:
+                # one pipeline per device, reused across its sequences: jit
+                # caches key on the traced function object, so fresh
+                # instances would re-trace the keyframe program per sequence
+                pipe = pipes[di] = DevicePipeline(
+                    cfg, detector_factory(seq), capacity=capacity, device=dev
+                )
+            else:
+                pipe.reset()
+                pipe.detector = detector_factory(seq)
+            pipe.run(seq, export=False)
+        stashed.append((video_id, pipe.state, pipe.fps, seq, out_path))
 
+    # --- phase 2: export + pickle + score everything -----------------------
+    results = []
+    wall_s = time.time() - t0  # streaming time; exports excluded by design
+    for video_id, state, fps, seq, out_path in stashed:
+        world = export_world(state)
+        st = world["stats"]
+        if st["dropped_world_capacity"] or st["dropped_obs_capacity"]:
+            print(
+                f"[eval] WARNING {video_id}: capacity overflow dropped "
+                f"{st['dropped_world_capacity']} detections / "
+                f"{st['dropped_obs_capacity']} observations; raise capacity."
+            )
         corners = _world_corners(world)
         entry = dict(
             video_id=video_id,
             n_boxes=int(len(world["scores"])),
-            fps=pipe.fps,
+            fps=fps,
             pred_corners=corners,
             pred_scores=np.asarray(world["scores"]),
         )
@@ -96,7 +136,7 @@ def evaluate_sequences(
 
     out = dict(
         sequences=results,
-        wall_s=time.time() - t0,
+        wall_s=wall_s,
         mean_fps=float(np.mean([r["fps"] for r in results])) if results else 0.0,
     )
     if gt_provider is not None and results:

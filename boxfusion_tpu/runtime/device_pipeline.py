@@ -99,7 +99,7 @@ class DevicePipeline:
     """
 
     def __init__(self, cfg, detector: Callable, labeler: Optional[Callable] = None,
-                 capacity: int = 512):
+                 capacity: int = 512, device=None):
         import dataclasses
         from concurrent.futures import ThreadPoolExecutor
 
@@ -109,6 +109,11 @@ class DevicePipeline:
         self.cfg = cfg
         self.detector = detector
         self.labeler = labeler
+        # Explicit device pin for multi-device fan-outs: uploads happen on the
+        # worker THREAD, where the caller's thread-local jax.default_device()
+        # context does not apply -- an unpinned pipeline would upload to
+        # device 0 regardless of where its state lives.
+        self.device = device
         self.class_list = None
         self.step_cfg = step_config_from(cfg)
         if labeler is not None:
@@ -125,9 +130,12 @@ class DevicePipeline:
             obs_capacity=int(cfg["association"]["max_observations"]),
         )
         bf = cfg["box_fusion"]
-        self.pst = jnp.asarray(
-            load_pst(bf["pst_path"] if "pst_path" in bf else None, int(bf["pst_size"]))
+        self.pst = jax.device_put(
+            load_pst(bf["pst_path"] if "pst_path" in bf else None, int(bf["pst_size"])),
+            device,
         )
+        if device is not None:
+            self.state = jax.device_put(self.state, device)
         self.count = 0
         # Host->device uploads block the calling thread on the tunneled
         # single-chip setup (~4 ms per device_put), so uploads + step dispatch
@@ -142,7 +150,7 @@ class DevicePipeline:
     def _device_step(self, buf: np.ndarray) -> None:
         try:
             self.state = keyframe_step_packed(
-                self.state, jax.device_put(buf), self.pst, self.step_cfg
+                self.state, jax.device_put(buf, self.device), self.pst, self.step_cfg
             )
         except BaseException as e:  # surfaced on the next submit/flush
             self._worker_error = e
@@ -151,7 +159,8 @@ class DevicePipeline:
     def _device_step_dev(self, det: dict, meta: np.ndarray, kmax: int) -> None:
         try:
             self.state = keyframe_step_devdet(
-                self.state, det, jax.device_put(meta), self.pst, self.step_cfg, kmax
+                self.state, det, jax.device_put(meta, self.device), self.pst,
+                self.step_cfg, kmax
             )
         except BaseException as e:
             self._worker_error = e
@@ -186,6 +195,8 @@ class DevicePipeline:
             max_views=self.state.max_views,
             obs_capacity=self.state.obs_pose.shape[0],
         )
+        if self.device is not None:
+            self.state = jax.device_put(self.state, self.device)
         self.count = 0
         self._label_overflow = jnp.int32(0)
 

@@ -211,8 +211,9 @@ class FusedDevicePipeline(DevicePipeline):
         capacity: int = 512,
         depth_mode: str = "u16",
         depth_scale: float = 1000.0,
+        device=None,
     ):
-        super().__init__(cfg, detector, labeler, capacity)
+        super().__init__(cfg, detector, labeler, capacity, device=device)
         if depth_mode not in ("u16", "f32"):
             raise ValueError(f"depth_mode must be u16|f32, got {depth_mode}")
         self.depth_mode = depth_mode
@@ -284,7 +285,8 @@ class FusedDevicePipeline(DevicePipeline):
                 clip_params = self.labeler.params
                 if self._text_features_dev is None:
                     self._text_features_dev = jax.device_put(
-                        np.asarray(self.labeler.text_features, np.float32)
+                        np.asarray(self.labeler.text_features, np.float32),
+                        self.device,
                     )
                 tf = self._text_features_dev
             else:
@@ -296,7 +298,7 @@ class FusedDevicePipeline(DevicePipeline):
                 clip_params,
                 tf,
                 self.state,
-                jax.device_put(buf),
+                jax.device_put(buf, self.device),
                 self.pst,
             )
         except BaseException as e:  # surfaced on the next submit/flush
