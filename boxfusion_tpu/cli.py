@@ -39,11 +39,18 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument(
         "--engine",
         default="host",
-        choices=["host", "device"],
-        help="'device' keeps all association/fusion state on the TPU "
-        "(fast path); 'host' mirrors the reference's host-side bookkeeping",
+        choices=["host", "device", "fused"],
+        help="'fused' traces packaging + CuTR + CLIP + associate/fuse into "
+        "ONE program per keyframe (production fast path, runtime/fused.py); "
+        "'device' keeps association/fusion state on the TPU with a separate "
+        "detector dispatch; 'host' mirrors the reference's host bookkeeping",
     )
     p.add_argument("--verbose", action="store_true")
+    p.add_argument(
+        "--capacity", default=512, type=int,
+        help="world-state slots for the device/fused engines (capacity "
+        "overflow drops lowest-priority detections, counted in stats)",
+    )
     return p
 
 
@@ -103,7 +110,9 @@ def main(argv=None) -> int:
         dataset = get_dataset(cfg)
         # device engine keeps detections on the TPU end to end; with
         # open-vocab labeling it also exports the device image so CLIP
-        # crops/similarity stay on device (runtime/device_pipeline.py)
+        # crops/similarity stay on device (runtime/device_pipeline.py).
+        # The fused engine bypasses the detector's call path entirely
+        # (its model/params are traced into the fused program).
         device_output = args.engine == "device"
         detector = _build_cutr_detector(
             args, cfg, device_output=device_output,
@@ -136,12 +145,59 @@ def main(argv=None) -> int:
     from boxfusion_tpu.runtime import OnlinePipeline
     from boxfusion_tpu.utils import viz
 
-    if args.engine == "device":
-        from boxfusion_tpu.runtime.device_pipeline import DevicePipeline
+    if args.engine in ("device", "fused"):
+        if args.engine == "fused":
+            from boxfusion_tpu.runtime.fused import FusedDevicePipeline
 
-        pipe = DevicePipeline(cfg, detector, labeler=labeler)
+            if args.dataset_path.lower() == "synthetic":
+                print("[cli] fused engine needs a CuTR detector; synthetic "
+                      "uses the oracle -- falling back to --engine device")
+                from boxfusion_tpu.runtime.device_pipeline import DevicePipeline
+
+                pipe = DevicePipeline(
+                    cfg, detector, labeler=labeler, capacity=args.capacity
+                )
+            else:
+                pipe = FusedDevicePipeline(
+                    cfg, detector, labeler=labeler, capacity=args.capacity,
+                    depth_scale=float(cfg["cam"]["png_depth_scale"]),
+                )
+        else:
+            from boxfusion_tpu.runtime.device_pipeline import DevicePipeline
+
+            pipe = DevicePipeline(
+                cfg, detector, labeler=labeler, capacity=args.capacity
+            )
         out = pipe.run(dataset)
-        print(f"[cli] device engine: {len(out['scores'])} world boxes")
+        print(f"[cli] {args.engine} engine: {len(out['scores'])} world boxes")
+        if cfg["vis"]["rerun"]:
+            # final world only: per-keyframe logging would force a D2H sync
+            # of device state every keyframe (and permanently degrade
+            # tunneled backends, docs/TUNNEL_PERF_NOTES.md)
+            viz.init_recording(getattr(dataset, "video_id", "boxfusion"))
+            viz.visualize_online_boxes(
+                out,
+                show_class=bool(cfg["vis"]["show_class"]),
+                show_label=bool(cfg["vis"]["show_label"]),
+            )
+        if out_dir and cfg["eval"]:
+            import jax.numpy as jnp
+
+            from boxfusion_tpu.geometry.boxes import box_corners
+            from boxfusion_tpu.utils.io import post_process, save_box
+
+            corners = np.asarray(
+                box_corners(jnp.asarray(out["xyzlhw"]), jnp.asarray(out["R"]))
+            )
+            if str(cfg["dataset"]).lower() == "scannet":
+                corners = post_process(corners)  # tools/utils.py:302-317
+            video_id = getattr(dataset, "video_id", "sequence")
+            path = os.path.join(out_dir, f"{video_id}_boxes.pkl")
+            os.makedirs(out_dir, exist_ok=True)
+            save_box(
+                [[(0, corners[n], 1.0) for n in range(len(corners))]], path
+            )
+            print(f"[cli] saved {path}")
         return 0
 
     pipe = OnlinePipeline(cfg, detector, labeler=labeler)

@@ -102,7 +102,12 @@ def evaluate_sequences(
                 pipe.reset()
                 pipe.detector = detector_factory(seq)
             pipe.run(seq, export=False)
-        stashed.append((video_id, pipe.state, pipe.fps, seq, out_path))
+        # retain seq only when phase 2 needs its GT (it can be a dataset
+        # holding reader/prefetcher resources; don't keep hundreds alive)
+        stashed.append(
+            (video_id, pipe.state, pipe.fps,
+             seq if gt_provider is not None else None, out_path)
+        )
 
     # --- phase 2: export + pickle + score everything -----------------------
     results = []

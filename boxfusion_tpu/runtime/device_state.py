@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 PAD_ID = np.int32(2**30)  # fusion-list padding (sorts after any real id)
+STATS_WIDTH = 5  # len of DeviceState.stats (see the field's counter list)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -64,7 +65,7 @@ class DeviceState:
     # [3] keyframes processed,
     # [4] detections past the CLIP label budget (fused path; left unboosted
     #     with the background label -- see models/clip/head.py).
-    stats: jnp.ndarray       # (5,) int32
+    stats: jnp.ndarray       # (STATS_WIDTH,) int32
 
     def tree_flatten(self):
         fields = dataclasses.fields(self)
@@ -108,7 +109,7 @@ def init_state(capacity: int = 512, max_views: int = 10, obs_capacity: int = 409
         obs_score=jnp.zeros((M,), f32),
         obs_corners2d=jnp.zeros((M, 8, 2), f32),
         obs_n=jnp.int32(0),
-        stats=jnp.zeros((5,), jnp.int32),
+        stats=jnp.zeros((STATS_WIDTH,), jnp.int32),
     )
 
 

@@ -102,24 +102,6 @@ def _pose_differs(poses_m, pose_ref, cfg: StepConfig):
     return (baseline > cfg.translation_gap) | (ang > cfg.rotation_gap)
 
 
-def _member_poses(state: DeviceState, row):
-    """Gather obs poses of one fusion-list row (V,) -> (V, 4, 4)."""
-    idx = jnp.clip(row, 0, state.obs_pose.shape[0] - 1)
-    return state.obs_pose[idx]
-
-
-def _row_member_mask(state: DeviceState, slot):
-    return jnp.arange(state.max_views) < state.fcount[slot]
-
-
-def _all_members_differ(state, list_slot, pose_ref, extra, cfg):
-    """The record() gate: every member pose differs enough (or `extra`)."""
-    row = state.flist[list_slot]
-    differs = _pose_differs(_member_poses(state, row), pose_ref, cfg) | extra
-    m = _row_member_mask(state, list_slot)
-    return jnp.all(jnp.where(m, differs, True))
-
-
 def _insert_sorted(row, count, value):
     """Insert into a PAD_ID-padded ascending row."""
     new = jax.lax.dynamic_update_slice(row, value[None].astype(row.dtype), (count,))
@@ -378,38 +360,13 @@ _iou2d_one_vs_rows = iou_2d  # one xyxy box vs N rows (geometry/iou.py:34)
 
 
 def _record_corr_one(state: DeviceState, keep, cur, other, cfg: StepConfig):
-    """record_corr (box_manager.py:90-129): pose-only gate, keep-substitute."""
-    V = state.max_views
-    is_single = state.fcount[other] == 1
-
-    pose_other = state.obs_pose[jnp.clip(state.init_id[other], 0, state.obs_pose.shape[0] - 1)]
-    differ_a = _all_members_differ(state, cur, pose_other, jnp.bool_(False), cfg)
-    apply_a = is_single & differ_a & (state.fcount[cur] < 5)
-    row_a = _insert_sorted(state.flist[cur], state.fcount[cur], state.init_id[other])
-
-    pose_cur = state.obs_pose[jnp.clip(state.init_id[cur], 0, state.obs_pose.shape[0] - 1)]
-    differ_b = _all_members_differ(state, other, pose_cur, jnp.bool_(False), cfg)
-    mergeable = differ_b & (state.fcount[other] < 5)
-    apply_b = (~is_single) & mergeable
-    swap_b = (~is_single) & (~mergeable)
-
-    row_b, count_b = _merge_sorted(
-        state.flist[cur], state.fcount[cur], state.flist[other], state.fcount[other], V
+    """record_corr (box_manager.py:90-129): the record bookkeeping with a
+    pose-only gate (no center-distance escape hatch -> extra=False) and the
+    keep-substitute semantics of box_manager.py:122-123."""
+    flist, fcount, fflag, keep = _record_core(
+        state.flist, state.fcount, state.fflag, keep, cur, other,
+        jnp.bool_(False), state.obs_pose, state.init_id, cfg,
     )
-
-    new_row = jnp.where(apply_a, row_a, jnp.where(apply_b, row_b, state.flist[cur]))
-    new_count = jnp.where(
-        apply_a, state.fcount[cur] + 1, jnp.where(apply_b, count_b, state.fcount[cur])
-    )
-    flist = jax.lax.dynamic_update_slice(state.flist, new_row[None], (cur, 0))
-    fcount = state.fcount.at[cur].set(new_count)
-
-    # keep[keep == cur] = other (box_manager.py:122-123)
-    do_swap = swap_b & keep[cur]
-    keep = keep.at[cur].set(jnp.where(do_swap, False, keep[cur]))
-    keep = keep.at[other].set(jnp.where(do_swap, True, keep[other]))
-
-    fflag = state.fflag.at[cur].set(state.fflag[cur] | ((~is_single) & state.fflag[other]))
     return dataclasses.replace(state, flist=flist, fcount=fcount, fflag=fflag), keep
 
 

@@ -220,6 +220,8 @@ class FusedDevicePipeline(DevicePipeline):
         self.depth_scale = float(depth_scale)
         self._fused_fns: Dict[tuple, object] = {}
         self._text_features_dev = None
+        self._params_dev = None
+        self._clip_params_dev = None
         if labeler is not None:
             self.class_list = list(labeler.class_list) + [""]
 
@@ -281,20 +283,40 @@ class FusedDevicePipeline(DevicePipeline):
 
     def _fused_step(self, fn, buf: np.ndarray) -> None:
         try:
+            # every operand pins to self.device (params may be committed to
+            # another device by the caller's init; mixed committed devices
+            # make the jitted call raise).  One placement per params object,
+            # keyed on identity so a swapped detector (eval fan-out) re-pins.
+            if self._params_dev is None or self._params_dev[0] is not self.detector.params:
+                src = self.detector.params
+                self._params_dev = (
+                    src,
+                    jax.device_put(src, self.device) if self.device is not None else src,
+                )
             if self.labeler is not None:
-                clip_params = self.labeler.params
+                if (
+                    self._clip_params_dev is None
+                    or self._clip_params_dev[0] is not self.labeler.params
+                ):
+                    src = self.labeler.params
+                    self._clip_params_dev = (
+                        src,
+                        jax.device_put(src, self.device)
+                        if self.device is not None
+                        else src,
+                    )
                 if self._text_features_dev is None:
                     self._text_features_dev = jax.device_put(
                         np.asarray(self.labeler.text_features, np.float32),
                         self.device,
                     )
-                tf = self._text_features_dev
+                clip_params, tf = self._clip_params_dev[1], self._text_features_dev
             else:
                 clip_params = tf = None
             # label-budget overflow rides in state.stats[4]; NO eager ops or
             # D2H here (a mid-sequence D2H degrades the tunnel permanently)
             self.state = fn(
-                self.detector.params,
+                self._params_dev[1],
                 clip_params,
                 tf,
                 self.state,

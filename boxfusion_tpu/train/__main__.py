@@ -162,8 +162,15 @@ def main(argv=None) -> None:
             k: np.stack([t[k] for t in batch_targets]) for k in batch_targets[0]
         }
 
-    ex_batch = stack(frames[: args.batch])
-    ex_targets = {k: jnp.asarray(v) for k, v in stack_targets(targets[: args.batch]).items()}
+    # sample with replacement exactly like the training loop: slicing
+    # frames[:batch] on a short dataset would build an undersized example,
+    # compiling the sharded step twice (and breaking dp divisibility).
+    ex_idx = np.arange(args.batch) % n_frames
+    ex_batch = stack([frames[i] for i in ex_idx])
+    ex_targets = {
+        k: jnp.asarray(v)
+        for k, v in stack_targets([targets[i] for i in ex_idx]).items()
+    }
 
     params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), ex_batch)
     if args.resume:

@@ -45,14 +45,17 @@ def save_pipeline_state(path: str, state) -> None:
 
 
 def restore_pipeline_state(path: str):
-    from boxfusion_tpu.runtime.device_state import DeviceState
+    from boxfusion_tpu.runtime.device_state import STATS_WIDTH, DeviceState
 
     tree = _ckptr().restore(os.path.abspath(path))
     import jax.numpy as jnp
 
     names = [f.name for f in dataclasses.fields(DeviceState)]
-    # stats counters were added after the first release; old snapshots
-    # restore with zeroed counters.
-    if "stats" not in tree:
-        tree = dict(tree, stats=np.zeros(4, np.int32))
+    # stats counters were added (and later widened) after the first release;
+    # snapshots with absent/narrower stats restore zero-padded to the current
+    # width so the restored state matches init_state's leaf shapes exactly.
+    stats = np.asarray(tree.get("stats", np.zeros(0, np.int32)), np.int32)
+    if stats.shape[0] < STATS_WIDTH:
+        stats = np.pad(stats, (0, STATS_WIDTH - stats.shape[0]))
+    tree = dict(tree, stats=stats)
     return DeviceState(**{k: jnp.asarray(tree[k]) for k in names})

@@ -89,21 +89,34 @@ def init_recording(video_id: str, blueprint=None, is_depth_model: bool = True):
     return rec
 
 
+def _unproject_jit():
+    """One module-level jitted unproject (a fresh jax.jit wrapper per frame
+    would re-trace the backprojection on every viewer frame)."""
+    global _UNPROJECT
+    if _UNPROJECT is None:
+        import jax
+
+        from boxfusion_tpu.geometry.projection import unproject_depth
+
+        _UNPROJECT = jax.jit(unproject_depth, static_argnames=("max_depth",))
+    return _UNPROJECT
+
+
+_UNPROJECT = None
+
+
 def log_gt_point_cloud(frame, max_depth: float = 10.0) -> None:
     """Backproject the frame's GT depth to a colored world point cloud
     (reference demo.py:121-127 via tools/utils.py:245-287) under /world/xyz,
     so predictions can be compared against the scene geometry."""
     if not HAS_RERUN or frame.depth is None:
         return
-    import jax
     import jax.numpy as jnp
     from PIL import Image
 
-    from boxfusion_tpu.geometry.projection import unproject_depth
-
     dh, dw = frame.depth.shape[:2]
     matched = np.asarray(Image.fromarray(frame.image).resize((dw, dh)))
-    xyz, valid = jax.jit(unproject_depth, static_argnames=("max_depth",))(
+    xyz, valid = _unproject_jit()(
         jnp.asarray(frame.depth, jnp.float32),
         jnp.asarray(frame.K_depth, jnp.float32),
         jnp.asarray(frame.gt_pose, jnp.float32),
@@ -157,21 +170,32 @@ def visualize_online_boxes(
     show_class: bool = False,
     show_label: bool = True,
 ) -> None:
-    """Log the fused world box set (tools/utils.py:37-96)."""
-    if not HAS_RERUN or len(world) == 0:
+    """Log the fused world box set (tools/utils.py:37-96).
+
+    Accepts either the host engine's world object (``.arrays``/
+    ``.categories``) or the device engine's exported dict
+    (``runtime/device_state.py::export_world``)."""
+    if isinstance(world, dict):
+        xyzlhw, R = np.asarray(world["xyzlhw"]), np.asarray(world["R"])
+        categories = world.get("categories")
+    else:
+        xyzlhw, R = world.arrays["xyzlhw"], world.arrays["R"]
+        categories = getattr(world, "categories", None)
+    n = len(xyzlhw)
+    if not HAS_RERUN or n == 0:
         return
     from scipy.spatial.transform import Rotation
 
-    n = len(world)
-    centers = world.arrays["xyzlhw"][:, :3]
-    sizes = world.arrays["xyzlhw"][:, 3:]
+    centers = xyzlhw[:, :3]
+    sizes = xyzlhw[:, 3:]
     quats = [
-        rerun.Quaternion(xyzw=Rotation.from_matrix(world.arrays["R"][i]).as_quat())
+        rerun.Quaternion(xyzw=Rotation.from_matrix(R[i]).as_quat())
         for i in range(n)
     ]
     colors = [random_color_v2(i / n) for i in range(n)]
     labels = (
-        list(world.categories) if show_class else [str(i) for i in range(n)]
+        list(categories) if show_class and categories is not None
+        else [str(i) for i in range(n)]
     )
     rerun.log(
         f"{prefix}/{log_instances_name}",

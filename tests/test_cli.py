@@ -1,0 +1,88 @@
+"""End-to-end drives of the main CLI (reference demo.py:389-467 parity).
+
+Every engine choice is exercised against the synthetic dataset with a
+small-capacity config so the whole argv -> pipeline -> saved-pickle path
+runs in CI (the heavier engine internals have their own suites).
+"""
+import os
+import pickle
+
+import numpy as np
+import yaml
+
+from boxfusion_tpu import cli
+
+
+def _small_cfg(tmp_path, **overrides):
+    with open("config/ca1m.yaml") as f:
+        raw = yaml.safe_load(f)
+    raw["data"]["gap"] = 5
+    raw["data"]["output_dir"] = str(tmp_path / "out")
+    raw["detection"]["score_thresh"] = 0.3
+    raw["detection"]["uv_bound"] = False
+    raw["detection"]["floor_mask"] = False
+    raw["detection"]["max_detections"] = 16
+    raw["box_fusion"]["pst_path"] = None
+    raw["box_fusion"]["pst_size"] = 128
+    raw["box_fusion"]["iters"] = 4
+    raw["box_fusion"]["max_fusions_per_frame"] = 4
+    raw["association"]["max_views"] = 5
+    raw["vis"]["rerun"] = False
+    for k, v in overrides.items():
+        sect, key = k.split(".")
+        raw[sect][key] = v
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(raw))
+    return str(p)
+
+
+def _enable_eval(cfg):
+    with open(cfg) as f:
+        raw = yaml.safe_load(f)
+    raw["eval"] = True
+    with open(cfg, "w") as f:
+        f.write(yaml.safe_dump(raw))
+
+
+def test_cli_device_engine_saves_eval_pickle(tmp_path, capsys):
+    cfg = _small_cfg(tmp_path)
+    _enable_eval(cfg)
+
+    rc = cli.main(["synthetic", "--config", cfg, "--engine", "device",
+                   "--capacity", "48"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "device engine:" in out
+    pkl = tmp_path / "out" / "synthetic_boxes.pkl"
+    assert pkl.exists()
+    with open(pkl, "rb") as f:
+        saved = pickle.load(f)
+    # reference pickle format: [[(frame, corners(8,3), score), ...]]
+    assert len(saved) == 1 and len(saved[0]) >= 1
+    assert np.asarray(saved[0][0][1]).shape == (8, 3)
+
+
+def test_cli_fused_engine_falls_back_on_synthetic(tmp_path, capsys):
+    cfg = _small_cfg(tmp_path)
+    rc = cli.main(["synthetic", "--config", cfg, "--engine", "fused",
+                   "--capacity", "48"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "falling back" in out and "engine:" in out
+
+
+def test_cli_host_engine_runs(tmp_path, capsys):
+    cfg = _small_cfg(tmp_path)
+    rc = cli.main(["synthetic", "--config", cfg, "--engine", "host"])
+    assert rc == 0
+
+
+def test_cli_skip_if_output_exists(tmp_path, capsys):
+    """demo.py:434-436: an existing eval pickle short-circuits the run."""
+    cfg = _small_cfg(tmp_path)
+    _enable_eval(cfg)
+    os.makedirs(tmp_path / "out", exist_ok=True)
+    (tmp_path / "out" / "42_boxes.pkl").write_bytes(b"x")
+    rc = cli.main(["ca1m", "--config", cfg, "--seq", "42"])
+    assert rc == 0
+    assert "already exist" in capsys.readouterr().out

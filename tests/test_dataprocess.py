@@ -219,3 +219,42 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.n) == 2
     assert float(restored.scores[0]) == 0.5
     assert restored.flist.shape == (8, 3)
+
+
+def test_checkpoint_restores_legacy_stats_width(tmp_path):
+    """Snapshots saved before stats existed (or with a narrower stats vector)
+    must restore zero-padded to the current STATS_WIDTH, or the restored
+    state's leaf shapes diverge from init_state and the fused program's
+    stats[4] scatter is silently dropped."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from boxfusion_tpu.runtime.device_state import STATS_WIDTH, init_state
+    from boxfusion_tpu.utils.checkpoint import (
+        _ckptr,
+        restore_pipeline_state,
+        save_pipeline_state,
+    )
+
+    state = init_state(capacity=4, max_views=3, obs_capacity=8)
+
+    # absent stats (pre-stats snapshot)
+    tree = {
+        f.name: np.asarray(getattr(state, f.name))
+        for f in dataclasses.fields(state)
+        if f.name != "stats"
+    }
+    p0 = tmp_path / "legacy0"
+    _ckptr().save(str(p0.resolve()), tree, force=True)
+    r0 = restore_pipeline_state(str(p0))
+    assert r0.stats.shape == (STATS_WIDTH,)
+    assert int(jnp.sum(r0.stats)) == 0
+
+    # narrower stats (the 4-counter era), with counters set
+    state4 = dataclasses.replace(state, stats=jnp.asarray([1, 2, 3, 4], jnp.int32))
+    p1 = tmp_path / "legacy4"
+    save_pipeline_state(str(p1), state4)
+    r1 = restore_pipeline_state(str(p1))
+    assert r1.stats.shape == (STATS_WIDTH,)
+    assert r1.stats[:4].tolist() == [1, 2, 3, 4] and int(r1.stats[4]) == 0

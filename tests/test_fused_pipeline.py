@@ -168,3 +168,25 @@ def test_packed_buffer_roundtrip(cutr):
     np.testing.assert_array_equal(meta[:16], frame.gt_pose.ravel())
     np.testing.assert_array_equal(meta[16:25], frame.K.ravel())
     assert meta[34] == h and meta[35] == w and meta[46] == 1000.0
+
+
+def test_fused_pipeline_pinned_to_nondefault_device(cutr):
+    """device= pins EVERY operand (state, pst, uploads, detector params) to
+    the given device; a partial pin would raise 'incompatible devices' from
+    the jitted fused program on the worker thread (multi-device fan-outs)."""
+    import jax
+
+    model, params = cutr
+    dev = jax.devices()[1]  # conftest provisions 8 virtual CPU devices
+    cfg = _cfg()
+    seq = SyntheticSequence(n_frames=6, n_boxes=3, seed=5)
+    frames = _mm_quantized_frames(seq)
+
+    # params deliberately committed to device 0 (jit init default): the
+    # pipeline must re-pin them rather than feed mixed-device operands
+    pipe = FusedDevicePipeline(
+        cfg, CuTRDetector(model, params), capacity=64, device=dev
+    )
+    world = pipe.run(frames, gap=5)
+    assert list(pipe.state.n.devices()) == [dev]
+    assert world["stats"]["keyframes"] == 2
