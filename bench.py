@@ -229,6 +229,21 @@ def main() -> None:
         real_runs.append(real_pipe.fps)
     real_fps = float(np.median(real_runs))
 
+    # --- SECONDARY: gap=1 (keyframe EVERY frame, the cubicle.yaml live-SLAM
+    # profile) -- detection+labeling+association+fusion per frame -----------
+    kf1_frames = frames[: n_frames // 4]
+    for fr in kf1_frames[:3]:
+        real_pipe.process_keyframe(fr)
+        real_pipe.count += 1
+    real_pipe.flush()
+    jax.block_until_ready(real_pipe.state.n)
+    kf1_runs = []
+    for _ in range(n_runs):
+        real_pipe.reset()
+        real_pipe.run(kf1_frames, gap=1, export=False)
+        kf1_runs.append(real_pipe.fps)
+    kf1_fps = float(np.median(kf1_runs))
+
     # --- SECONDARY: oracle-detection stress load ----------------------------
     class BenchDetector:
         """Enqueues the real CuTR forward (its device time serializes into
@@ -283,6 +298,9 @@ def main() -> None:
                 # dataset I/O this bench excludes (no measured ref run exists).
                 "vs_baseline": round(real_fps / 10.0, 3),
                 "stress_fps_oracle_load": round(stress_fps, 3),
+                # cubicle.yaml live-SLAM profile: full detect+label+associate+
+                # fuse EVERY frame (keyframe gap 1)
+                "keyframes_per_s_gap1": round(kf1_fps, 3),
                 # no-silent-caps: the random-box load saturates the 256-slot
                 # world (real scenes hold far fewer objects); drops are counted
                 "world_boxes_final_run": world_boxes,

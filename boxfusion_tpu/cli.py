@@ -51,6 +51,18 @@ def build_argparser() -> argparse.ArgumentParser:
         help="world-state slots for the device/fused engines (capacity "
         "overflow drops lowest-priority detections, counted in stats)",
     )
+    p.add_argument(
+        "--save-state", default=None, metavar="PATH",
+        help="device/fused engines: snapshot the full pipeline state after "
+        "the run (resume a partially-streamed sequence with --restore-state)",
+    )
+    p.add_argument(
+        "--restore-state", default=None, metavar="PATH",
+        help="device/fused engines: restore a pipeline snapshot before "
+        "streaming (pair with --restore-count for the frame counter)",
+    )
+    p.add_argument("--restore-count", default=0, type=int,
+                   help="frame counter to resume from with --restore-state")
     return p
 
 
@@ -168,7 +180,15 @@ def main(argv=None) -> int:
             pipe = DevicePipeline(
                 cfg, detector, labeler=labeler, capacity=args.capacity
             )
+        if args.restore_state:
+            pipe.restore_state(args.restore_state, count=args.restore_count)
+            print(f"[cli] resumed pipeline state from {args.restore_state} "
+                  f"(frame {args.restore_count})")
         out = pipe.run(dataset)
+        if args.save_state:
+            pipe.save_state(args.save_state)
+            print(f"[cli] saved pipeline state to {args.save_state} "
+                  f"(frame {pipe.count})")
         print(f"[cli] {args.engine} engine: {len(out['scores'])} world boxes")
         if cfg["vis"]["rerun"]:
             # final world only: per-keyframe logging would force a D2H sync

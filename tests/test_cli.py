@@ -86,3 +86,20 @@ def test_cli_skip_if_output_exists(tmp_path, capsys):
     rc = cli.main(["ca1m", "--config", cfg, "--seq", "42"])
     assert rc == 0
     assert "already exist" in capsys.readouterr().out
+
+
+def test_cli_save_and_restore_state(tmp_path, capsys):
+    """--save-state / --restore-state round-trip through the device engine."""
+    cfg = _small_cfg(tmp_path)
+    snap = tmp_path / "snap"
+    rc = cli.main(["synthetic", "--config", cfg, "--engine", "device",
+                   "--capacity", "48", "--save-state", str(snap)])
+    assert rc == 0
+    assert "saved pipeline state" in capsys.readouterr().out
+    assert snap.exists()
+
+    rc = cli.main(["synthetic", "--config", cfg, "--engine", "device",
+                   "--capacity", "48", "--restore-state", str(snap),
+                   "--restore-count", "60"])
+    assert rc == 0
+    assert "resumed pipeline state" in capsys.readouterr().out
