@@ -103,3 +103,33 @@ def test_cli_save_and_restore_state(tmp_path, capsys):
                    "--restore-count", "60"])
     assert rc == 0
     assert "resumed pipeline state" in capsys.readouterr().out
+
+
+def test_cli_fused_engine_on_disk_ca1m(tmp_path, capsys):
+    """The complete user path: raw capture dir -> SLAM conversion -> CA-1M
+    reader -> FUSED single-dispatch engine (random CuTR) -> eval pickle."""
+    from tests.test_dataprocess import _write_capture
+
+    from boxfusion_tpu.data_process import convert_capture_to_slam
+
+    cap = _write_capture(tmp_path, n_frames=11)
+    slam = tmp_path / "slam" / "42898867"
+    convert_capture_to_slam(str(cap), str(slam))
+
+    cfg = _small_cfg(tmp_path)
+    _enable_eval(cfg)
+    with open(cfg) as f:
+        raw = yaml.safe_load(f)
+    raw["data"]["datadir"] = str(slam)
+    # CA-1M convention: cam.H = width, cam.W = height (landscape 48x64)
+    raw["cam"]["H"] = 64
+    raw["cam"]["W"] = 48
+    with open(cfg, "w") as f:
+        f.write(yaml.safe_dump(raw))
+
+    rc = cli.main([str(slam), "--config", cfg, "--engine", "fused",
+                   "--capacity", "32", "--dimension", "192"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "fused engine:" in out
+    assert (tmp_path / "out" / "42898867_boxes.pkl").exists()
