@@ -78,6 +78,11 @@ def main(argv=None) -> int:
         "--synthetic", default=0, type=int, metavar="N",
         help="dataset-free mode: oracle pipeline over N synthetic GT scenes -> AP",
     )
+    p.add_argument(
+        "--fused", action="store_true",
+        help="single-dispatch fused keyframe engine (one upload + one "
+        "execute per keyframe; fastest on remote-attached chips)",
+    )
     args = p.parse_args(argv)
 
     from boxfusion_tpu.data import get_dataset
@@ -140,6 +145,8 @@ def main(argv=None) -> int:
         detector_factory=detector_factory,
         output_dir=args.output_dir,
         capacity=args.capacity,
+        fused=args.fused,
+        depth_scale=float(cfg["cam"]["png_depth_scale"]),
     )
     print(
         f"[eval] {len(out['sequences'])} sequences in {out['wall_s']:.1f}s, "

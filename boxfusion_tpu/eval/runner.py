@@ -49,6 +49,8 @@ def evaluate_sequences(
     output_dir: Optional[str] = None,
     devices: Optional[List] = None,
     capacity: int = 512,
+    fused: bool = False,
+    depth_scale: float = 1000.0,
 ) -> Dict:
     """Run the online pipeline over many sequences, fanned out over devices.
 
@@ -63,6 +65,10 @@ def evaluate_sequences(
       output_dir: if set, per-sequence fused-box pickles are written in the
         reference's format and existing outputs are skipped (resume).
       devices: jax devices to round-robin over (default: all).
+      fused: use the single-dispatch FusedDevicePipeline (requires the
+        factory to return a CuTRDetector; one upload + one execute per
+        keyframe instead of detector + step dispatches).
+      depth_scale: u16-mm depth quantization scale for the fused transfer.
 
     Returns:
       dict with per-sequence results and (if gt_provider) AP metrics.
@@ -70,7 +76,16 @@ def evaluate_sequences(
     from boxfusion_tpu.eval.ap3d import average_precision_3d
     from boxfusion_tpu.runtime.device_pipeline import DevicePipeline
     from boxfusion_tpu.runtime.device_state import export_world
+    from boxfusion_tpu.runtime.fused import FusedDevicePipeline
     from boxfusion_tpu.utils.io import save_box
+
+    def make_pipe(detector, dev):
+        if fused:
+            return FusedDevicePipeline(
+                cfg, detector, capacity=capacity, device=dev,
+                depth_scale=depth_scale,
+            )
+        return DevicePipeline(cfg, detector, capacity=capacity, device=dev)
 
     devices = devices or jax.devices()
     pipes: Dict[int, DevicePipeline] = {}  # one long-lived pipeline per device
@@ -95,9 +110,7 @@ def evaluate_sequences(
                 # one pipeline per device, reused across its sequences: jit
                 # caches key on the traced function object, so fresh
                 # instances would re-trace the keyframe program per sequence
-                pipe = pipes[di] = DevicePipeline(
-                    cfg, detector_factory(seq), capacity=capacity, device=dev
-                )
+                pipe = pipes[di] = make_pipe(detector_factory(seq), dev)
             else:
                 pipe.reset()
                 pipe.detector = detector_factory(seq)

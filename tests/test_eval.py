@@ -87,3 +87,49 @@ def test_evaluate_sequences_fanout(tmp_path):
         cfg, seqs, lambda s: OracleDetector(s), output_dir=str(tmp_path), capacity=64
     )
     assert len(out2["sequences"]) == 0
+
+
+def test_evaluate_sequences_fused_fanout(tmp_path):
+    """fused=True routes the fan-out through FusedDevicePipeline (one
+    program per keyframe) with per-device pinning on the virtual mesh."""
+    import jax
+
+    from boxfusion_tpu.data.preprocess import Preprocessor
+    from boxfusion_tpu.data.synthetic import SyntheticSequence
+    from boxfusion_tpu.models.cutr import make_cutr
+    from boxfusion_tpu.runtime.detector import CuTRDetector
+    from boxfusion_tpu.utils.config import load_config
+
+    cfg = load_config("config/ca1m.yaml")
+    cfg["data"]._data["gap"] = 5
+    cfg["detection"]._data["score_thresh"] = 0.1
+    cfg["detection"]._data["uv_bound"] = False
+    cfg["detection"]._data["floor_mask"] = False
+    cfg["detection"]._data["max_detections"] = 16
+    cfg["box_fusion"]._data["pst_path"] = None
+    cfg["box_fusion"]._data["pst_size"] = 128
+    cfg["box_fusion"]._data["iters"] = 4
+    cfg["box_fusion"]._data["max_fusions_per_frame"] = 4
+    cfg["association"]._data["max_views"] = 5
+
+    model = make_cutr(dimension=192, depth_model=True)
+    seq0 = SyntheticSequence(n_frames=1, n_boxes=2, seed=0)
+    f0 = next(iter(seq0))
+    batch, _, _ = Preprocessor()(f0.image, f0.depth, f0.K, f0.T_gravity)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+
+    seqs = [
+        SyntheticSequence(n_frames=6, n_boxes=2, seed=s, video_id=f"fseq{s}")
+        for s in (0, 1, 2)
+    ]
+    out = evaluate_sequences(
+        cfg,
+        seqs,
+        detector_factory=lambda s: CuTRDetector(model, params),
+        output_dir=str(tmp_path),
+        capacity=32,
+        fused=True,
+    )
+    assert len(out["sequences"]) == 3
+    for s in (0, 1, 2):
+        assert (tmp_path / f"fseq{s}_boxes.pkl").exists()
