@@ -61,9 +61,37 @@ def _compiled_flops(fn, *args) -> float:
         return 0.0
 
 
+def _probe_backend_alive(timeout_s: float = 120.0) -> None:
+    """The tunneled backend sometimes hangs outright (a tiny op never
+    returns, 0% CPU -- docs/TUNNEL_PERF_NOTES.md).  A hung backend would
+    stall this process forever inside a blocking PJRT call, so probe it in
+    a KILLABLE subprocess first and fail fast with a clear reason."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "jax.block_until_ready(jnp.ones(8) + 1)\n"
+    )
+    try:
+        subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s, check=True,
+            capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench: backend unresponsive (tiny op hung > {timeout_s:.0f}s); "
+            "the attached accelerator/tunnel is down -- not emitting a bogus "
+            "measurement",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+
+
 def main() -> None:
     from boxfusion_tpu.utils.cache import enable_compilation_cache
 
+    _probe_backend_alive()
     enable_compilation_cache()  # fused-program compile is minutes; one-time per machine
 
     import jax

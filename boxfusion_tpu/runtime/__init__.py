@@ -1,4 +1,12 @@
 from boxfusion_tpu.runtime.detector import CuTRDetector
+from boxfusion_tpu.runtime.device_pipeline import DevicePipeline
+from boxfusion_tpu.runtime.fused import FusedDevicePipeline
 from boxfusion_tpu.runtime.pipeline import OnlinePipeline, WorldState
 
-__all__ = ["CuTRDetector", "OnlinePipeline", "WorldState"]
+__all__ = [
+    "CuTRDetector",
+    "DevicePipeline",
+    "FusedDevicePipeline",
+    "OnlinePipeline",
+    "WorldState",
+]
