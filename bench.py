@@ -69,8 +69,15 @@ def _probe_backend_alive(timeout_s: float = 120.0) -> None:
     import subprocess
     import sys
 
+    # honor JAX_PLATFORMS explicitly: the axon sitecustomize pre-registers
+    # the TPU backend, so the env var alone does not flip the child to CPU
+    # (tests/conftest.py documents the same) -- a CPU-forced bench must not
+    # fail on a dead tunnel it is not going to use.
     code = (
-        "import jax, jax.numpy as jnp\n"
+        "import os, jax\n"
+        "p = os.environ.get('JAX_PLATFORMS')\n"
+        "if p: jax.config.update('jax_platforms', p)\n"
+        "import jax.numpy as jnp\n"
         "jax.block_until_ready(jnp.ones(8) + 1)\n"
     )
     try:
@@ -257,6 +264,11 @@ def main() -> None:
         real_runs.append(real_pipe.fps)
     real_fps = float(np.median(real_runs))
 
+    # hold the LAST HEADLINE run's final state for the end-of-bench export
+    # (reset() replaces pipe.state; this reference keeps the device buffers
+    # alive, still without any D2H)
+    headline_state = real_pipe.state
+
     # --- SECONDARY: gap=1 (keyframe EVERY frame, the cubicle.yaml live-SLAM
     # profile) -- detection+labeling+association+fusion per frame -----------
     kf1_frames = frames[: n_frames // 4]
@@ -304,10 +316,12 @@ def main() -> None:
     stress_fps = float(np.median(stress_runs))
 
     # single end-of-bench export (sanity: the timed runs really kept boxes);
-    # safe here because no timing follows the D2H.
+    # safe here because no timing follows the D2H.  Exports the last
+    # HEADLINE run's state -- the figures must describe the workload the
+    # headline FPS was measured on, not the gap=1 side run.
     from boxfusion_tpu.runtime.device_state import export_world
 
-    world = export_world(real_pipe.state, class_list=real_pipe.class_list)
+    world = export_world(headline_state, class_list=real_pipe.class_list)
     world_boxes = int(world["scores"].shape[0])
     world_stats = {k: int(v) for k, v in world["stats"].items()}
 

@@ -158,12 +158,14 @@ def main(argv=None) -> int:
     from boxfusion_tpu.utils import viz
 
     if args.engine in ("device", "fused"):
+        engine_used = args.engine
         if args.engine == "fused":
             from boxfusion_tpu.runtime.fused import FusedDevicePipeline
 
             if args.dataset_path.lower() == "synthetic":
                 print("[cli] fused engine needs a CuTR detector; synthetic "
                       "uses the oracle -- falling back to --engine device")
+                engine_used = "device"
                 from boxfusion_tpu.runtime.device_pipeline import DevicePipeline
 
                 pipe = DevicePipeline(
@@ -182,6 +184,16 @@ def main(argv=None) -> int:
             )
         if args.restore_state:
             pipe.restore_state(args.restore_state, count=args.restore_count)
+            if args.restore_count:
+                # continue where the saved run stopped: frames [0,
+                # restore_count) were already streamed into the snapshot --
+                # re-streaming them would duplicate their observations
+                import itertools
+
+                dataset = _NamedIter(
+                    itertools.islice(iter(dataset), args.restore_count, None),
+                    getattr(dataset, "video_id", "sequence"),
+                )
             print(f"[cli] resumed pipeline state from {args.restore_state} "
                   f"(frame {args.restore_count})")
         out = pipe.run(dataset)
@@ -189,7 +201,7 @@ def main(argv=None) -> int:
             pipe.save_state(args.save_state)
             print(f"[cli] saved pipeline state to {args.save_state} "
                   f"(frame {pipe.count})")
-        print(f"[cli] {args.engine} engine: {len(out['scores'])} world boxes")
+        print(f"[cli] {engine_used} engine: {len(out['scores'])} world boxes")
         if cfg["vis"]["rerun"]:
             # final world only: per-keyframe logging would force a D2H sync
             # of device state every keyframe (and permanently degrade
@@ -204,18 +216,14 @@ def main(argv=None) -> int:
             import jax.numpy as jnp
 
             from boxfusion_tpu.geometry.boxes import box_corners
-            from boxfusion_tpu.utils.io import post_process, save_box
+            from boxfusion_tpu.utils.io import save_eval_pickle
 
             corners = np.asarray(
                 box_corners(jnp.asarray(out["xyzlhw"]), jnp.asarray(out["R"]))
             )
-            if str(cfg["dataset"]).lower() == "scannet":
-                corners = post_process(corners)  # tools/utils.py:302-317
-            video_id = getattr(dataset, "video_id", "sequence")
-            path = os.path.join(out_dir, f"{video_id}_boxes.pkl")
-            os.makedirs(out_dir, exist_ok=True)
-            save_box(
-                [[(0, corners[n], 1.0) for n in range(len(corners))]], path
+            path = save_eval_pickle(
+                corners, out_dir, getattr(dataset, "video_id", "sequence"),
+                cfg["dataset"],
             )
             print(f"[cli] saved {path}")
         return 0

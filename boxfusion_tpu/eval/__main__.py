@@ -92,6 +92,11 @@ def main(argv=None) -> int:
     cfg = load_config(args.config)
 
     if args.synthetic:
+        if args.fused:
+            p.error(
+                "--fused needs a CuTR detector; --synthetic uses the oracle "
+                "detector (drop --fused, or run on real data)"
+            )
         return _run_synthetic(cfg, args.synthetic, args.capacity)
     if not args.data_root:
         p.error("--data-root is required unless --synthetic N is given")

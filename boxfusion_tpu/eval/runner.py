@@ -77,7 +77,7 @@ def evaluate_sequences(
     from boxfusion_tpu.runtime.device_pipeline import DevicePipeline
     from boxfusion_tpu.runtime.device_state import export_world
     from boxfusion_tpu.runtime.fused import FusedDevicePipeline
-    from boxfusion_tpu.utils.io import save_box
+    from boxfusion_tpu.utils.io import save_eval_pickle
 
     def make_pipe(detector, dev):
         if fused:
@@ -147,9 +147,8 @@ def evaluate_sequences(
         results.append(entry)
 
         if out_path:
-            os.makedirs(output_dir, exist_ok=True)
-            save_box(
-                [[(0, corners[n], 1.0) for n in range(len(corners))]], out_path
+            save_eval_pickle(
+                corners, output_dir, video_id, cfg["dataset"]
             )
 
     out = dict(

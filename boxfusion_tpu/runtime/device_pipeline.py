@@ -332,6 +332,10 @@ class DevicePipeline:
         from boxfusion_tpu.utils.checkpoint import restore_pipeline_state
 
         self.state = restore_pipeline_state(path)
+        if self.device is not None:
+            # pinned pipelines must not mix a default-device restored state
+            # with device-pinned pst/uploads (jit raises on mixed operands)
+            self.state = jax.device_put(self.state, self.device)
         self.count = count
 
     def run(self, dataset, gap: Optional[int] = None, verbose: bool = False,

@@ -226,9 +226,13 @@ class FusedDevicePipeline(DevicePipeline):
             self.class_list = list(labeler.class_list) + [""]
 
     def _get_fused(self, key):
+        # model in the key: pipe.detector may be swapped (eval fan-out), and
+        # a shape-only key would keep serving a program traced from the OLD
+        # detector's model.  The module-level cache still dedupes programs.
+        h, w, dh, dw, square, ratio = key
+        key = (self.detector.model, *key)
         fn = self._fused_fns.get(key)
         if fn is None:
-            h, w, dh, dw, square, ratio = key
             det_cfg = self.cfg["detection"]
             fn = make_fused_keyframe_fn(
                 self.detector.model,

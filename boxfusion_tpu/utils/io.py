@@ -32,17 +32,26 @@ def post_process(boxes: np.ndarray, threshold: float = 0.3) -> np.ndarray:
     return boxes[(rng >= threshold).all(axis=1)]
 
 
-def save_world_boxes(world, class_list: List[str], output_dir: str, video_id: str,
+def save_eval_pickle(corners: np.ndarray, output_dir: str, video_id: str,
                      dataset: str = "CA1M") -> str:
-    """Persist the fused world set in the reference's eval pickle format."""
+    """THE writer of the reference's `<video_id>_boxes.pkl` format
+    (demo.py:368-381: one frame entry of (class 0, corners (8,3), score 1.0)
+    tuples, ScanNet small-box post-filter) -- every producer (host CLI,
+    device/fused CLI, eval fan-out) must route through here so the format
+    cannot drift between them."""
     os.makedirs(output_dir, exist_ok=True)
-    corners = world.corners()
-    if dataset == "scannet":
+    if str(dataset).lower() == "scannet":
         corners = post_process(corners)
     save_list = [[(int(0), corners[n], 1.0) for n in range(corners.shape[0])]]
     path = os.path.join(output_dir, f"{video_id}_boxes.pkl")
     save_box(save_list, path)
     return path
+
+
+def save_world_boxes(world, class_list: List[str], output_dir: str, video_id: str,
+                     dataset: str = "CA1M") -> str:
+    """Persist the fused world set in the reference's eval pickle format."""
+    return save_eval_pickle(world.corners(), output_dir, video_id, dataset)
 
 
 def save_framewise_boxes(obs, features, class_list: List[str],

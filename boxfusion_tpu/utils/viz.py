@@ -175,15 +175,17 @@ def visualize_online_boxes(
     Accepts either the host engine's world object (``.arrays``/
     ``.categories``) or the device engine's exported dict
     (``runtime/device_state.py::export_world``)."""
+    # emptiness first: an empty host WorldState has arrays == {} (no
+    # "xyzlhw" key to index), an empty device export has zero-row arrays
+    n = len(world["scores"]) if isinstance(world, dict) else len(world)
+    if not HAS_RERUN or n == 0:
+        return
     if isinstance(world, dict):
         xyzlhw, R = np.asarray(world["xyzlhw"]), np.asarray(world["R"])
         categories = world.get("categories")
     else:
         xyzlhw, R = world.arrays["xyzlhw"], world.arrays["R"]
         categories = getattr(world, "categories", None)
-    n = len(xyzlhw)
-    if not HAS_RERUN or n == 0:
-        return
     from scipy.spatial.transform import Rotation
 
     centers = xyzlhw[:, :3]

@@ -162,3 +162,38 @@ def test_visualize_online_boxes(fake_rerun):
     entries = [c for c in calls if c[0].endswith("pred_instances")]
     assert len(entries) == 1
     assert entries[0][1].kwargs["labels"] == ["chair", "table"]
+
+
+def test_visualize_online_boxes_empty_and_dict_worlds(fake_rerun):
+    """An empty host WorldState has arrays == {} -- emptiness must be
+    checked BEFORE indexing arrays (crashed when no detection survived the
+    first keyframe's filters).  Device-export dicts work too."""
+    viz, calls = fake_rerun
+
+    class EmptyW:
+        arrays = {}
+        categories = []
+
+        def __len__(self):
+            return 0
+
+    viz.visualize_online_boxes(EmptyW())  # must not raise
+
+    empty_dict = {
+        "scores": np.zeros((0,), np.float32),
+        "xyzlhw": np.zeros((0, 6), np.float32),
+        "R": np.zeros((0, 3, 3), np.float32),
+    }
+    viz.visualize_online_boxes(empty_dict)  # must not raise
+    assert not [c for c in calls if c[0].endswith("pred_instances")]
+
+    world = {
+        "scores": np.array([0.9], np.float32),
+        "xyzlhw": np.array([[0, 0, 0, 1, 1, 1]], np.float32),
+        "R": np.eye(3, dtype=np.float32)[None],
+        "categories": ["sofa"],
+    }
+    viz.visualize_online_boxes(world, show_class=True)
+    entries = [c for c in calls if c[0].endswith("pred_instances")]
+    assert len(entries) == 1
+    assert entries[0][1].kwargs["labels"] == ["sofa"]
