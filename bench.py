@@ -61,11 +61,13 @@ def _compiled_flops(fn, *args) -> float:
         return 0.0
 
 
-def _probe_backend_alive(timeout_s: float = 120.0) -> None:
+def _probe_backend_alive(timeout_s: float = 120.0, attempts: int = 6) -> None:
     """The tunneled backend sometimes hangs outright (a tiny op never
     returns, 0% CPU -- docs/TUNNEL_PERF_NOTES.md).  A hung backend would
     stall this process forever inside a blocking PJRT call, so probe it in
-    a KILLABLE subprocess first and fail fast with a clear reason."""
+    a KILLABLE subprocess first; retry for a while (tunnel outages have
+    recovered within minutes), then fail with a clear reason rather than
+    emitting a bogus measurement."""
     import subprocess
     import sys
 
@@ -80,19 +82,25 @@ def _probe_backend_alive(timeout_s: float = 120.0) -> None:
         "import jax.numpy as jnp\n"
         "jax.block_until_ready(jnp.ones(8) + 1)\n"
     )
-    try:
-        subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout_s, check=True,
-            capture_output=True,
-        )
-    except subprocess.TimeoutExpired:
-        print(
-            f"bench: backend unresponsive (tiny op hung > {timeout_s:.0f}s); "
-            "the attached accelerator/tunnel is down -- not emitting a bogus "
-            "measurement",
-            file=sys.stderr,
-        )
-        raise SystemExit(3)
+    for attempt in range(1, attempts + 1):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout_s, check=True,
+                capture_output=True,
+            )
+            return
+        except subprocess.TimeoutExpired:
+            print(
+                f"bench: backend unresponsive (tiny op hung > {timeout_s:.0f}s, "
+                f"attempt {attempt}/{attempts})",
+                file=sys.stderr,
+            )
+    print(
+        "bench: the attached accelerator/tunnel stayed down across "
+        f"{attempts} probes -- not emitting a bogus measurement",
+        file=sys.stderr,
+    )
+    raise SystemExit(3)
 
 
 def main() -> None:
