@@ -1,4 +1,13 @@
-from boxfusion_tpu.eval.ap3d import average_precision_3d, match_detections
+from boxfusion_tpu.eval.ap3d import (
+    average_precision_3d,
+    average_precision_3d_per_class,
+    match_detections,
+)
 from boxfusion_tpu.eval.runner import evaluate_sequences
 
-__all__ = ["average_precision_3d", "match_detections", "evaluate_sequences"]
+__all__ = [
+    "average_precision_3d",
+    "average_precision_3d_per_class",
+    "match_detections",
+    "evaluate_sequences",
+]

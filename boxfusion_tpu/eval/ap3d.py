@@ -101,3 +101,43 @@ def average_precision_3d(
         n_pred=int(len(tp)),
         n_gt=int(n_gt),
     )
+
+
+def average_precision_3d_per_class(
+    per_sequence: Sequence[Dict[str, np.ndarray]],
+    iou_thresh: float = 0.25,
+) -> Dict:
+    """Per-class AP + mAP (detections only match GT of their own class).
+
+    Args:
+      per_sequence: like ``average_precision_3d`` plus ``pred_classes`` (P,)
+        and ``gt_classes`` (G,) -- ints or strings (e.g. the open-vocab
+        category labels the pipeline assigns via CLIP).
+
+    Returns:
+      dict(map, per_class={cls: ap-metrics}); classes with no GT anywhere
+      are reported but excluded from the mean.
+    """
+    classes: set = set()
+    for seq in per_sequence:
+        classes.update(np.asarray(seq["gt_classes"]).tolist())
+        classes.update(np.asarray(seq["pred_classes"]).tolist())
+    per_class = {}
+    for c in sorted(classes, key=str):
+        filtered = []
+        for seq in per_sequence:
+            pm = np.asarray(seq["pred_classes"]) == c
+            gm = np.asarray(seq["gt_classes"]) == c
+            filtered.append(
+                dict(
+                    pred_corners=np.asarray(seq["pred_corners"], np.float32)[pm],
+                    pred_scores=np.asarray(seq["pred_scores"], np.float32)[pm],
+                    gt_corners=np.asarray(seq["gt_corners"], np.float32)[gm],
+                )
+            )
+        per_class[c] = average_precision_3d(filtered, iou_thresh)
+    with_gt = [m["ap"] for m in per_class.values() if m["n_gt"] > 0]
+    return dict(
+        map=float(np.mean(with_gt)) if with_gt else 0.0,
+        per_class=per_class,
+    )

@@ -133,3 +133,30 @@ def test_evaluate_sequences_fused_fanout(tmp_path):
     assert len(out["sequences"]) == 3
     for s in (0, 1, 2):
         assert (tmp_path / f"fseq{s}_boxes.pkl").exists()
+
+
+def test_per_class_ap_and_map():
+    from boxfusion_tpu.eval import average_precision_3d_per_class
+
+    gt = _corners([[0, 0, 0, 1, 1, 1], [3, 0, 0, 1, 1, 1], [0, 3, 0, 1, 1, 1]])
+    # predictions perfect for "chair" (2 GT), wrong class on the "table" GT
+    seqs = [
+        dict(
+            pred_corners=gt,
+            pred_scores=np.array([0.9, 0.8, 0.7]),
+            pred_classes=np.array(["chair", "chair", "chair"]),
+            gt_corners=gt,
+            gt_classes=np.array(["chair", "chair", "table"]),
+        )
+    ]
+    out = average_precision_3d_per_class(seqs, 0.25)
+    assert out["per_class"]["chair"]["ap"] > 0.99
+    # the table GT was predicted as chair: zero AP for table
+    assert out["per_class"]["table"]["ap"] == 0.0
+    assert 0.4 < out["map"] < 0.6  # mean of 1.0 and 0.0
+
+    # class-agnostic AP would be perfect -- per-class is strictly stricter
+    from boxfusion_tpu.eval import average_precision_3d
+
+    agn = average_precision_3d(seqs, 0.25)
+    assert agn["ap"] > 0.99 > out["map"]
