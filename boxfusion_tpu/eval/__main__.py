@@ -83,6 +83,12 @@ def main(argv=None) -> int:
         help="single-dispatch fused keyframe engine (one upload + one "
         "execute per keyframe; fastest on remote-attached chips)",
     )
+    p.add_argument(
+        "--lanes", default=0, type=int, metavar="N",
+        help="single-chip batched mode: run N sequences in lockstep through "
+        "one vmapped pipeline (MXU batching; sequences must share one "
+        "resolution bucket). Mutually exclusive with --fused.",
+    )
     args = p.parse_args(argv)
 
     from boxfusion_tpu.data import get_dataset
@@ -91,11 +97,13 @@ def main(argv=None) -> int:
 
     cfg = load_config(args.config)
 
+    if args.fused and args.lanes:
+        p.error("--fused and --lanes are mutually exclusive")
     if args.synthetic:
-        if args.fused:
+        if args.fused or args.lanes:
             p.error(
-                "--fused needs a CuTR detector; --synthetic uses the oracle "
-                "detector (drop --fused, or run on real data)"
+                "--fused/--lanes need a CuTR detector; --synthetic uses the "
+                "oracle detector (drop the flag, or run on real data)"
             )
         return _run_synthetic(cfg, args.synthetic, args.capacity)
     if not args.data_root:
@@ -144,15 +152,27 @@ def main(argv=None) -> int:
         params_dev = jax.device_put(params_host)
         return CuTRDetector(det0.model, params_dev, device_output=True)
 
-    out = evaluate_sequences(
-        cfg,
-        (make_seq(s) for s in seq_ids),  # lazy: one dataset at a time
-        detector_factory=detector_factory,
-        output_dir=args.output_dir,
-        capacity=args.capacity,
-        fused=args.fused,
-        depth_scale=float(cfg["cam"]["png_depth_scale"]),
-    )
+    if args.lanes:
+        from boxfusion_tpu.eval.runner import evaluate_sequences_batched
+
+        out = evaluate_sequences_batched(
+            cfg,
+            (make_seq(s) for s in seq_ids),
+            detector=CuTRDetector(det0.model, jax.device_put(params_host)),
+            lanes=args.lanes,
+            output_dir=args.output_dir,
+            capacity=args.capacity,
+        )
+    else:
+        out = evaluate_sequences(
+            cfg,
+            (make_seq(s) for s in seq_ids),  # lazy: one dataset at a time
+            detector_factory=detector_factory,
+            output_dir=args.output_dir,
+            capacity=args.capacity,
+            fused=args.fused,
+            depth_scale=float(cfg["cam"]["png_depth_scale"]),
+        )
     print(
         f"[eval] {len(out['sequences'])} sequences in {out['wall_s']:.1f}s, "
         f"mean FPS {out['mean_fps']:.2f}"

@@ -160,3 +160,68 @@ def evaluate_sequences(
         out["ap_0.25"] = average_precision_3d(results, iou_thresh=0.25)
         out["ap_0.50"] = average_precision_3d(results, iou_thresh=0.50)
     return out
+
+
+def evaluate_sequences_batched(
+    cfg,
+    sequences: Sequence,
+    detector,
+    lanes: int,
+    gt_provider: Optional[Callable] = None,
+    output_dir: Optional[str] = None,
+    capacity: int = 256,
+) -> Dict:
+    """Single-chip batched eval: groups of ``lanes`` sequences run in
+    lockstep through one ``BatchedPipeline`` (vmapped keyframe step + one
+    (N, ...) CuTR forward per round -- see runtime/batched.py).
+
+    All sequences must share one shape bucket (the pipeline raises a clear
+    error otherwise); ``detector`` is a single CuTRDetector reused for every
+    group.  Skip-if-exists resume applies per sequence like the fan-out.
+    """
+    from boxfusion_tpu.eval.ap3d import average_precision_3d
+    from boxfusion_tpu.runtime.batched import BatchedPipeline
+    from boxfusion_tpu.utils.io import save_eval_pickle
+
+    t0 = time.time()
+    todo = []
+    for i, seq in enumerate(sequences):
+        video_id = getattr(seq, "video_id", f"seq{i}")
+        out_path = (
+            os.path.join(output_dir, f"{video_id}_boxes.pkl") if output_dir else None
+        )
+        if out_path and os.path.exists(out_path):
+            print(f"[eval] {video_id}: output exists, skipping")
+            continue
+        todo.append((video_id, seq))
+
+    results = []
+    for g in range(0, len(todo), lanes):
+        group = todo[g : g + lanes]
+        pipe = BatchedPipeline(cfg, detector, n_lanes=len(group),
+                               capacity=capacity)
+        worlds = pipe.run([iter(s) for _, s in group])
+        for (video_id, seq), world in zip(group, worlds):
+            corners = _world_corners(world)
+            entry = dict(
+                video_id=video_id,
+                n_boxes=int(len(world["scores"])),
+                fps=pipe.keyframes_per_s,
+                pred_corners=corners,
+                pred_scores=np.asarray(world["scores"]),
+            )
+            if gt_provider is not None:
+                entry["gt_corners"] = np.asarray(gt_provider(seq))
+            results.append(entry)
+            if output_dir:
+                save_eval_pickle(corners, output_dir, video_id, cfg["dataset"])
+
+    out = dict(
+        sequences=results,
+        wall_s=time.time() - t0,
+        mean_fps=float(np.mean([r["fps"] for r in results])) if results else 0.0,
+    )
+    if gt_provider is not None and results:
+        out["ap_0.25"] = average_precision_3d(results, iou_thresh=0.25)
+        out["ap_0.50"] = average_precision_3d(results, iou_thresh=0.50)
+    return out

@@ -160,3 +160,46 @@ def test_per_class_ap_and_map():
 
     agn = average_precision_3d(seqs, 0.25)
     assert agn["ap"] > 0.99 > out["map"]
+
+
+def test_evaluate_sequences_batched_lanes(tmp_path):
+    """--lanes mode: groups of N sequences run through one BatchedPipeline;
+    an uneven tail group (5 sequences, lanes=2 -> 2/2/1) works."""
+    import jax
+
+    from boxfusion_tpu.data.preprocess import Preprocessor
+    from boxfusion_tpu.data.synthetic import SyntheticSequence
+    from boxfusion_tpu.eval import evaluate_sequences_batched
+    from boxfusion_tpu.models.cutr import make_cutr
+    from boxfusion_tpu.runtime.detector import CuTRDetector
+    from boxfusion_tpu.utils.config import load_config
+
+    cfg = load_config("config/ca1m.yaml")
+    cfg["data"]._data["gap"] = 5
+    cfg["detection"]._data["score_thresh"] = 0.1
+    cfg["detection"]._data["uv_bound"] = False
+    cfg["detection"]._data["floor_mask"] = False
+    cfg["detection"]._data["max_detections"] = 16
+    cfg["box_fusion"]._data["pst_path"] = None
+    cfg["box_fusion"]._data["pst_size"] = 128
+    cfg["box_fusion"]._data["iters"] = 4
+    cfg["box_fusion"]._data["max_fusions_per_frame"] = 4
+    cfg["association"]._data["max_views"] = 5
+
+    model = make_cutr(dimension=192, depth_model=True)
+    s0 = SyntheticSequence(n_frames=1, n_boxes=2, seed=0)
+    f0 = next(iter(s0))
+    batch, _, _ = Preprocessor()(f0.image, f0.depth, f0.K, f0.T_gravity)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+
+    seqs = [
+        SyntheticSequence(n_frames=6, n_boxes=2, seed=s, video_id=f"lane{s}")
+        for s in range(5)
+    ]
+    out = evaluate_sequences_batched(
+        cfg, seqs, detector=CuTRDetector(model, params), lanes=2,
+        output_dir=str(tmp_path), capacity=32,
+    )
+    assert len(out["sequences"]) == 5
+    for s in range(5):
+        assert (tmp_path / f"lane{s}_boxes.pkl").exists()
