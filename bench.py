@@ -82,6 +82,8 @@ def _probe_backend_alive(timeout_s: float = 120.0, attempts: int = 6) -> None:
         "import jax.numpy as jnp\n"
         "jax.block_until_ready(jnp.ones(8) + 1)\n"
     )
+    import time as _time
+
     for attempt in range(1, attempts + 1):
         try:
             subprocess.run(
@@ -95,6 +97,22 @@ def _probe_backend_alive(timeout_s: float = 120.0, attempts: int = 6) -> None:
                 f"attempt {attempt}/{attempts})",
                 file=sys.stderr,
             )
+        except subprocess.CalledProcessError as e:
+            # outage flavor 2: the relay refuses/errors instead of hanging
+            # -- same retry budget, but wait out part of the probe window
+            # so six fast failures don't burn the budget in seconds
+            tail = (e.stderr or b"").decode(errors="replace").strip().splitlines()
+            # surface the actual exception line, not JAX's traceback-filter note
+            msg = next(
+                (ln for ln in reversed(tail) if "Error" in ln or "error" in ln),
+                tail[-1] if tail else "no stderr",
+            )
+            print(
+                f"bench: backend init failed (attempt {attempt}/{attempts}): {msg}",
+                file=sys.stderr,
+            )
+            if attempt < attempts:
+                _time.sleep(timeout_s / 2)
     print(
         "bench: the attached accelerator/tunnel stayed down across "
         f"{attempts} probes -- not emitting a bogus measurement",

@@ -99,6 +99,8 @@ def main(argv=None) -> int:
 
     if args.fused and args.lanes:
         p.error("--fused and --lanes are mutually exclusive")
+    if args.lanes < 0:
+        p.error(f"--lanes must be >= 1 (got {args.lanes})")
     if args.synthetic:
         if args.fused or args.lanes:
             p.error(

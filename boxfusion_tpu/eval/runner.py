@@ -21,6 +21,7 @@ stashed states' device memory.
 """
 from __future__ import annotations
 
+import itertools
 import os
 import time
 from typing import Callable, Dict, List, Optional, Sequence
@@ -169,11 +170,20 @@ def evaluate_sequences_batched(
     lanes: int,
     gt_provider: Optional[Callable] = None,
     output_dir: Optional[str] = None,
-    capacity: int = 256,
+    capacity: int = 512,
 ) -> Dict:
     """Single-chip batched eval: groups of ``lanes`` sequences run in
-    lockstep through one ``BatchedPipeline`` (vmapped keyframe step + one
-    (N, ...) CuTR forward per round -- see runtime/batched.py).
+    lockstep through ONE ``BatchedPipeline`` (vmapped keyframe step + one
+    (N, ...) CuTR forward per round -- see runtime/batched.py), reused
+    across groups so nothing re-traces (a short tail group runs on the
+    same programs with spare lanes inactive).
+
+    Same two-phase structure as ``evaluate_sequences``: phase 1 streams
+    every group D2H-free and stashes the final stacked lane states; phase 2
+    exports, pickles, and scores after ALL timed streaming (tunneled
+    backends degrade permanently on any computed-buffer readback,
+    docs/TUNNEL_PERF_NOTES.md).  Sequences are consumed lazily: only one
+    group's datasets (reader/prefetcher resources) are alive at a time.
 
     All sequences must share one shape bucket (the pipeline raises a clear
     error otherwise); ``detector`` is a single CuTRDetector reused for every
@@ -181,32 +191,62 @@ def evaluate_sequences_batched(
     """
     from boxfusion_tpu.eval.ap3d import average_precision_3d
     from boxfusion_tpu.runtime.batched import BatchedPipeline
+    from boxfusion_tpu.runtime.device_state import export_world
     from boxfusion_tpu.utils.io import save_eval_pickle
 
+    if lanes < 1:
+        raise ValueError(f"lanes must be >= 1, got {lanes}")
+
+    def todo_iter():
+        for i, seq in enumerate(sequences):
+            video_id = getattr(seq, "video_id", f"seq{i}")
+            out_path = (
+                os.path.join(output_dir, f"{video_id}_boxes.pkl")
+                if output_dir else None
+            )
+            if out_path and os.path.exists(out_path):
+                print(f"[eval] {video_id}: output exists, skipping")
+                continue
+            yield video_id, seq
+
     t0 = time.time()
-    todo = []
-    for i, seq in enumerate(sequences):
-        video_id = getattr(seq, "video_id", f"seq{i}")
-        out_path = (
-            os.path.join(output_dir, f"{video_id}_boxes.pkl") if output_dir else None
-        )
-        if out_path and os.path.exists(out_path):
-            print(f"[eval] {video_id}: output exists, skipping")
-            continue
-        todo.append((video_id, seq))
+    pipe = None
+    stashed = []  # (states pytree, [(video_id, lane_fps, gt_seq)])
+    it = todo_iter()
+    while True:
+        group = list(itertools.islice(it, lanes))
+        if not group:
+            break
+        if pipe is None:
+            pipe = BatchedPipeline(cfg, detector, n_lanes=lanes,
+                                   capacity=capacity)
+        else:
+            pipe.reset()
+        pipe.run([s for _, s in group], export=False)
+        stashed.append((
+            pipe.states,
+            [(vid, pipe.lane_fps[j],
+              seq if gt_provider is not None else None)
+             for j, (vid, seq) in enumerate(group)],
+        ))
+    wall_s = time.time() - t0  # streaming time; exports excluded by design
 
     results = []
-    for g in range(0, len(todo), lanes):
-        group = todo[g : g + lanes]
-        pipe = BatchedPipeline(cfg, detector, n_lanes=len(group),
-                               capacity=capacity)
-        worlds = pipe.run([iter(s) for _, s in group])
-        for (video_id, seq), world in zip(group, worlds):
+    for states, entries in stashed:
+        for j, (video_id, fps, seq) in enumerate(entries):
+            world = export_world(jax.tree.map(lambda x, j=j: x[j], states))
+            st = world["stats"]
+            if st["dropped_world_capacity"] or st["dropped_obs_capacity"]:
+                print(
+                    f"[eval] WARNING {video_id}: capacity overflow dropped "
+                    f"{st['dropped_world_capacity']} detections / "
+                    f"{st['dropped_obs_capacity']} observations; raise capacity."
+                )
             corners = _world_corners(world)
             entry = dict(
                 video_id=video_id,
                 n_boxes=int(len(world["scores"])),
-                fps=pipe.keyframes_per_s,
+                fps=fps,
                 pred_corners=corners,
                 pred_scores=np.asarray(world["scores"]),
             )
@@ -218,7 +258,7 @@ def evaluate_sequences_batched(
 
     out = dict(
         sequences=results,
-        wall_s=time.time() - t0,
+        wall_s=wall_s,
         mean_fps=float(np.mean([r["fps"] for r in results])) if results else 0.0,
     )
     if gt_provider is not None and results:

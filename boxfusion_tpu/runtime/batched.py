@@ -28,15 +28,24 @@ import numpy as np
 from boxfusion_tpu.data.preprocess import Preprocessor
 from boxfusion_tpu.fusion import load_pst
 from boxfusion_tpu.runtime.detector import CuTRDetector
-from boxfusion_tpu.runtime.device_pipeline import step_config_from
+from boxfusion_tpu.runtime.device_pipeline import pack_meta, step_config_from
 from boxfusion_tpu.runtime.device_state import export_world, init_state
-from boxfusion_tpu.runtime.device_step import META_WIDTH, _keyframe_step_impl
+from boxfusion_tpu.runtime.device_step import (
+    META_WIDTH,
+    _keyframe_step_impl,
+    pad_detections,
+)
 
 _KEEP = ("scores", "pred_boxes", "boxes3d", "R", "proj_xy")
 
 # program cache keyed on (cfg, kmax): vmapped trace is expensive and every
 # BatchedPipeline instance with the same config shares one executable
 _STEP_CACHE: Dict[tuple, object] = {}
+
+# forward cache keyed on the model (a hashable flax config dataclass):
+# jit keys on the function OBJECT, so a per-instance jax.jit(model.apply)
+# would re-trace the full CuTR forward for every pipeline instance
+_FWD_CACHE: Dict[object, object] = {}
 
 
 def _batched_step_fn(cfg, kmax: int):
@@ -60,25 +69,7 @@ def _batched_step_fn(cfg, kmax: int):
         return jax.lax.cond(active, go, lambda s: s, state)
 
     def step(states, det, metas, active, pst):
-        # pad/truncate the per-lane detection rows to the static budget
-        def pad(x, fill=0.0):
-            x = x[:, :kmax]
-            if x.shape[1] < kmax:
-                pads = [(0, 0), (0, kmax - x.shape[1])] + [(0, 0)] * (x.ndim - 2)
-                x = jnp.pad(x, pads, constant_values=fill)
-            return x
-
-        n = det["scores"].shape[1]
-        det = dict(
-            scores=pad(det["scores"], -1e9),
-            pred_boxes=pad(det["pred_boxes"]),
-            boxes3d=pad(det["boxes3d"]),
-            R=pad(det["R"]),
-            proj_xy=pad(det.get("proj_xy", jnp.zeros((det["scores"].shape[0], n, 2)))),
-        )
-        if n < kmax:  # padded rows: benign unit dims
-            det["boxes3d"] = det["boxes3d"].at[:, n:, 3:].set(1.0)
-        det["category"] = jnp.zeros((det["scores"].shape[0], kmax), jnp.int32)
+        det = pad_detections(det, kmax)  # shared contract with devdet path
         return jax.vmap(lane_step, in_axes=(0, 0, 0, 0, None))(
             states, det, metas, active, pst
         )
@@ -101,40 +92,43 @@ class BatchedPipeline:
     """
 
     def __init__(self, cfg, detector: CuTRDetector, n_lanes: int,
-                 capacity: int = 256):
+                 capacity: int = 512):
         from boxfusion_tpu.utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
         self.cfg = cfg
         self.detector = detector
         self.n_lanes = int(n_lanes)
+        self.capacity = int(capacity)
         self.step_cfg = step_config_from(cfg)
         self.kmax = int(cfg["detection"]["max_detections"])
-        lanes = [
-            init_state(
-                capacity=capacity,
-                max_views=int(cfg["association"]["max_views"]),
-                obs_capacity=int(cfg["association"]["max_observations"]),
-            )
-            for _ in range(self.n_lanes)
-        ]
-        self.states = jax.tree.map(lambda *xs: jnp.stack(xs), *lanes)
+        self.reset()
         bf = cfg["box_fusion"]
         self.pst = jnp.asarray(
             load_pst(bf["pst_path"] if "pst_path" in bf else None, int(bf["pst_size"]))
         )
         self._pre = Preprocessor(detector.buckets)
-        self._fwd = jax.jit(detector.model.apply)
+        fwd = _FWD_CACHE.get(detector.model)
+        if fwd is None:
+            fwd = _FWD_CACHE[detector.model] = jax.jit(detector.model.apply)
+        self._fwd = fwd
+
+    def reset(self) -> None:
+        """Fresh per-lane world state; compiled programs stay cached -- use
+        this (or one instance per group) when driving many sequence groups
+        so the vmapped step and the CuTR forward trace exactly once."""
+        lanes = [
+            init_state(
+                capacity=self.capacity,
+                max_views=int(self.cfg["association"]["max_views"]),
+                obs_capacity=int(self.cfg["association"]["max_observations"]),
+            )
+            for _ in range(self.n_lanes)
+        ]
+        self.states = jax.tree.map(lambda *xs: jnp.stack(xs), *lanes)
 
     def _pack_meta(self, frame, count: int) -> np.ndarray:
-        h, w = frame.image.shape[:2]
-        meta = np.zeros(META_WIDTH, np.float32)
-        meta[:16] = np.asarray(frame.gt_pose, np.float32).ravel()
-        meta[16:25] = np.asarray(frame.K, np.float32).ravel()
-        meta[25:34] = np.asarray(frame.K_depth, np.float32).ravel()
-        meta[34:36] = (float(h), float(w))
-        meta[36] = float(count)
-        return meta
+        return pack_meta(frame, count)
 
     def process_keyframes(self, frames: Sequence[Optional[object]],
                           counts: Sequence[int]) -> None:
@@ -175,14 +169,30 @@ class BatchedPipeline:
             self.states, det, jnp.asarray(metas), active, self.pst
         )
 
-    def run(self, sequences: Sequence, gap: Optional[int] = None) -> List[dict]:
-        """Stream N sequences in lockstep; returns one world dict per lane."""
+    def run(self, sequences: Sequence, gap: Optional[int] = None,
+            export: bool = True) -> Optional[List[dict]]:
+        """Stream up to N sequences in lockstep.
+
+        Fewer than ``n_lanes`` sequences is fine (a tail group): the spare
+        lanes stay inactive, so the compiled (n_lanes, ...) programs are
+        reused instead of recompiling for the smaller batch.
+
+        With ``export=True`` returns one world dict per given sequence.
+        With ``export=False`` returns None and leaves the final lane states
+        on device (read later via ``export_worlds``): exporting reads back
+        COMPUTED buffers, which permanently degrades tunneled backends
+        (docs/TUNNEL_PERF_NOTES.md), so multi-group drivers should defer
+        every export until after the last timed group.
+        """
         import time
 
         gap = int(self.cfg["data"]["gap"]) if gap is None else gap
-        iters = [iter(s) for s in sequences]
+        if len(sequences) > self.n_lanes:
+            raise ValueError(f"{len(sequences)} sequences > {self.n_lanes} lanes")
+        self.n_run = len(sequences)
+        iters: List[Optional[object]] = [iter(s) for s in sequences]
+        iters += [None] * (self.n_lanes - len(iters))  # spare lanes inactive
         counts = [0] * self.n_lanes
-        assert len(iters) == self.n_lanes
         start = time.time()
         total = 0
         while True:
@@ -213,9 +223,19 @@ class BatchedPipeline:
         jax.block_until_ready(self.states.n)
         dur = time.time() - start
         self.keyframes_per_s = total / max(dur, 1e-9)
-        print(f"Batched: {total} keyframes over {self.n_lanes} lanes in "
+        # per-lane frames/s over the shared group wall-clock: comparable to
+        # the per-sequence fps the device fan-out records (runner.py)
+        self.lane_fps = [c / max(dur, 1e-9) for c in counts[: self.n_run]]
+        print(f"Batched: {total} keyframes over {self.n_run} lanes in "
               f"{dur:.2f} s ({self.keyframes_per_s:.2f} kf/s)")
+        return self.export_worlds() if export else None
+
+    def export_worlds(self, n: Optional[int] = None) -> List[dict]:
+        """Read back the first ``n`` lanes' world sets (default: the lanes
+        the last ``run`` call actually streamed).  D2H of computed buffers
+        -- call only after all timed streaming is done."""
+        n = getattr(self, "n_run", self.n_lanes) if n is None else n
         return [
             export_world(jax.tree.map(lambda x, i=i: x[i], self.states))
-            for i in range(self.n_lanes)
+            for i in range(n)
         ]

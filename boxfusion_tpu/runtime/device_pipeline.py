@@ -56,6 +56,20 @@ def resolve_engine(cfg) -> str:
     return engine
 
 
+def pack_meta(frame, count: int) -> np.ndarray:
+    """Pack a frame's (pose, K_img, K_depth, image_hw, frame_idx) into the
+    (META_WIDTH,) f32 transfer vector every keyframe engine consumes --
+    layout must match the unpacking in device_step.py (META_WIDTH)."""
+    h, w = frame.image.shape[:2]
+    meta = np.empty(META_WIDTH, np.float32)
+    meta[:16] = np.asarray(frame.gt_pose, np.float32).ravel()
+    meta[16:25] = np.asarray(frame.K, np.float32).ravel()
+    meta[25:34] = np.asarray(frame.K_depth, np.float32).ravel()
+    meta[34:36] = (float(h), float(w))
+    meta[36] = float(count)
+    return meta
+
+
 def step_config_from(cfg) -> StepConfig:
     bf = cfg["box_fusion"]
     ro = bf["random_opt"]
@@ -172,14 +186,7 @@ class DevicePipeline:
             raise RuntimeError("device keyframe step failed in the worker") from err
 
     def _pack_meta(self, frame, count: int) -> np.ndarray:
-        h, w = frame.image.shape[:2]
-        meta = np.empty(META_WIDTH, np.float32)
-        meta[:16] = np.asarray(frame.gt_pose, np.float32).ravel()
-        meta[16:25] = np.asarray(frame.K, np.float32).ravel()
-        meta[25:34] = np.asarray(frame.K_depth, np.float32).ravel()
-        meta[34:36] = (float(h), float(w))
-        meta[36] = float(count)
-        return meta
+        return pack_meta(frame, count)
 
     def reset(self) -> None:
         """Fresh sequence state; compiled programs stay cached.

@@ -942,6 +942,48 @@ def _unpack_detections(packed: jnp.ndarray) -> dict:
     )
 
 
+def pad_detections(det: dict, kmax: int) -> dict:
+    """Pad/truncate detector top-k rows to the static budget ``kmax``.
+
+    Accepts single-frame ``(N, ...)`` or batched ``(B, N, ...)`` detection
+    dicts (the row axis is scores' last axis).  One definition of the
+    padding contract shared by ``keyframe_step_devdet`` and the vmapped
+    ``BatchedPipeline`` step: padded rows get score -1e9 (below any
+    filter), benign unit dims (downstream IoU math divides by volumes),
+    zeroed geometry, and category 0 when the detector provides none (the
+    labeler overwrites categories on the labeled path).
+    """
+    axis = det["scores"].ndim - 1
+    k = min(int(det["scores"].shape[axis]), kmax)
+
+    def pad(x, fill=0.0):
+        x = jax.lax.slice_in_dim(x, 0, k, axis=axis)
+        if k < kmax:
+            pads = [(0, 0)] * x.ndim
+            pads[axis] = (0, kmax - k)
+            x = jnp.pad(x, pads, constant_values=jnp.asarray(fill, x.dtype))
+        return x
+
+    lead = det["scores"].shape[:axis]
+    boxes3d = pad(det["boxes3d"])
+    if k < kmax:
+        boxes3d = boxes3d.at[..., k:, 3:].set(1.0)
+    cat = det.get("category")
+    if cat is None:
+        cat = jnp.zeros(lead + (k,), jnp.int32)
+    proj = det.get("proj_xy")
+    if proj is None:
+        proj = jnp.zeros(lead + (k, 2), det["scores"].dtype)
+    return dict(
+        scores=pad(det["scores"], -1e9),
+        pred_boxes=pad(det["pred_boxes"]),
+        boxes3d=boxes3d,
+        R=pad(det["R"]),
+        proj_xy=pad(proj),
+        category=pad(cat).astype(jnp.int32),
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "kmax"))
 def keyframe_step_devdet(
     state: DeviceState,
@@ -958,28 +1000,7 @@ def keyframe_step_devdet(
     metadata vector is uploaded per keyframe.  Padding/truncation to ``kmax``
     happens at trace time (detector top-k is static).
     """
-    n = min(int(det["scores"].shape[0]), kmax)
-
-    def pad(x, fill=0.0):
-        x = x[:kmax]
-        if x.shape[0] < kmax:
-            pads = [(0, kmax - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
-            x = jnp.pad(x, pads, constant_values=fill)
-        return x
-
-    scores = pad(det["scores"], -1e9)
-    boxes3d = pad(det["boxes3d"])
-    if n < kmax:
-        boxes3d = boxes3d.at[n:, 3:].set(1.0)  # benign dims for padded rows
-    K = det["scores"].shape[0]
-    det = dict(
-        scores=scores,
-        pred_boxes=pad(det["pred_boxes"]),
-        boxes3d=boxes3d,
-        R=pad(det["R"]),
-        proj_xy=pad(det.get("proj_xy", jnp.zeros((K, 2)))),
-        category=pad(det.get("category", jnp.zeros(K, jnp.int32))).astype(jnp.int32),
-    )
+    det = pad_detections(det, kmax)
     pose = meta[:16].reshape(4, 4)
     K_img = meta[16:25].reshape(3, 3)
     K_depth = meta[25:34].reshape(3, 3)

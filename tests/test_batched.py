@@ -73,3 +73,75 @@ def test_batched_lanes_match_single_pipelines(cutr):
             atol=1e-4,
         )
         assert got["stats"]["keyframes"] == ref_world["stats"]["keyframes"], lane
+
+
+def test_batched_reset_tail_group_and_deferred_export(cutr):
+    """One pipeline reused across groups (the eval runner's pattern):
+    reset() clears the lanes, a TAIL group smaller than n_lanes runs on the
+    same compiled programs with spare lanes inactive, and export=False
+    defers every D2H until export_worlds()."""
+    model, params = cutr
+    cfg = _cfg()
+    seqs = [
+        list(SyntheticSequence(n_frames=6, n_boxes=3, seed=s)) for s in range(3)
+    ]
+
+    pipe = BatchedPipeline(cfg, CuTRDetector(model, params), n_lanes=2,
+                           capacity=64)
+    assert pipe.run([iter(seqs[0]), iter(seqs[1])], gap=5, export=False) is None
+    group1 = pipe.export_worlds()
+    assert len(group1) == 2 and len(pipe.lane_fps) == 2
+
+    pipe.reset()
+    tail = pipe.run([iter(seqs[2])], gap=5)  # 1 sequence < 2 lanes
+    assert len(tail) == 1 and len(pipe.lane_fps) == 1
+
+    for world, frames in zip(group1 + tail, seqs):
+        ref = DevicePipeline(
+            cfg, CuTRDetector(model, params, device_output=True), capacity=64
+        )
+        ref_world = ref.run(frames, gap=5)
+        assert len(world["scores"]) == len(ref_world["scores"])
+        go = np.argsort(np.asarray(world["init_id"]))
+        ro = np.argsort(np.asarray(ref_world["init_id"]))
+        np.testing.assert_allclose(
+            np.asarray(world["xyzlhw"])[go],
+            np.asarray(ref_world["xyzlhw"])[ro],
+            atol=1e-4,
+        )
+
+
+def test_pad_detections_batched_matches_single():
+    """The shared padding contract: running pad_detections on a (B, N, ...)
+    stack equals stacking per-frame (N, ...) results."""
+    import jax.numpy as jnp
+
+    from boxfusion_tpu.runtime.device_step import pad_detections
+
+    rng = np.random.RandomState(0)
+    B, N, kmax = 3, 5, 8
+    det_b = dict(
+        scores=jnp.asarray(rng.rand(B, N), jnp.float32),
+        pred_boxes=jnp.asarray(rng.rand(B, N, 4), jnp.float32),
+        boxes3d=jnp.asarray(rng.rand(B, N, 6), jnp.float32),
+        R=jnp.asarray(rng.rand(B, N, 3, 3), jnp.float32),
+        proj_xy=jnp.asarray(rng.rand(B, N, 2), jnp.float32),
+    )
+    got = pad_detections(det_b, kmax)
+    for b in range(B):
+        single = pad_detections(
+            {k: v[b] for k, v in det_b.items()}, kmax
+        )
+        for k in got:
+            np.testing.assert_array_equal(
+                np.asarray(got[k][b]), np.asarray(single[k]), err_msg=k
+            )
+    # padded rows: dead scores, benign unit dims, background-free category 0
+    assert np.all(np.asarray(got["scores"])[:, N:] == -1e9)
+    assert np.all(np.asarray(got["boxes3d"])[:, N:, 3:] == 1.0)
+    assert got["category"].dtype == jnp.int32
+    # truncation keeps the leading rows untouched
+    trunc = pad_detections(det_b, 4)
+    np.testing.assert_array_equal(
+        np.asarray(trunc["scores"]), np.asarray(det_b["scores"][:, :4])
+    )
