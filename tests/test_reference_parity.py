@@ -157,10 +157,28 @@ def _assert_detection_set_parity(got, want, atols):
     # matching exists iff the optimal assignment uses no 1e6 edges.
     rows, cols = linear_sum_assignment(np.where(feasible, dist, 1e6))
     bad = ~feasible[rows, cols]
-    assert not bad.any(), (
-        f"{bad.sum()}/{n} detections have no within-tolerance counterpart; "
-        f"first bad got-row index: {rows[bad][0] if bad.any() else None}"
-    )
+    if bad.any():
+        # this assert has a (rare) flake history -- dump enough detail that
+        # a CI failure is diagnosable without a rerun: for each unmatched
+        # got-row, the per-field distance to its best feasible-ish partner
+        lines = []
+        for r, c in zip(rows[bad][:5], cols[bad][:5]):
+            per_field = {
+                k: float(
+                    np.abs(
+                        np.asarray(got[k], np.float64).reshape(n, -1)[r]
+                        - np.asarray(want[k], np.float64).reshape(n, -1)[c]
+                    ).max()
+                )
+                for k in atols
+            }
+            worst = {k: f"{v:.2e}/{atols[k]:g}" for k, v in per_field.items()}
+            lines.append(f"  got[{r}] vs want[{c}]: {worst}")
+        raise AssertionError(
+            f"{bad.sum()}/{n} detections have no within-tolerance "
+            "counterpart (abs-diff/atol per field, assigned pairs):\n"
+            + "\n".join(lines)
+        )
 
 
 def test_activation_parity_end_to_end(parity_setup):
