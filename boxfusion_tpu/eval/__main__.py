@@ -89,6 +89,11 @@ def main(argv=None) -> int:
         "one vmapped pipeline (MXU batching; sequences must share one "
         "resolution bucket). Mutually exclusive with --fused.",
     )
+    p.add_argument(
+        "--packed", action="store_true",
+        help="with --lanes: packed byte transport, ONE (N, L) upload + ONE "
+        "dispatch per keyframe round (fastest on remote-attached chips)",
+    )
     args = p.parse_args(argv)
 
     from boxfusion_tpu.data import get_dataset
@@ -101,6 +106,8 @@ def main(argv=None) -> int:
         p.error("--fused and --lanes are mutually exclusive")
     if args.lanes < 0:
         p.error(f"--lanes must be >= 1 (got {args.lanes})")
+    if args.packed and not args.lanes:
+        p.error("--packed requires --lanes N")
     if args.synthetic:
         if args.fused or args.lanes:
             p.error(
@@ -164,6 +171,8 @@ def main(argv=None) -> int:
             lanes=args.lanes,
             output_dir=args.output_dir,
             capacity=args.capacity,
+            packed=args.packed,
+            depth_scale=float(cfg["cam"]["png_depth_scale"]),
         )
     else:
         out = evaluate_sequences(

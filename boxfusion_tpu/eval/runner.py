@@ -171,6 +171,9 @@ def evaluate_sequences_batched(
     gt_provider: Optional[Callable] = None,
     output_dir: Optional[str] = None,
     capacity: int = 512,
+    packed: bool = False,
+    depth_mode: str = "u16",
+    depth_scale: float = 1000.0,
 ) -> Dict:
     """Single-chip batched eval: groups of ``lanes`` sequences run in
     lockstep through ONE ``BatchedPipeline`` (vmapped keyframe step + one
@@ -188,6 +191,9 @@ def evaluate_sequences_batched(
     All sequences must share one shape bucket (the pipeline raises a clear
     error otherwise); ``detector`` is a single CuTRDetector reused for every
     group.  Skip-if-exists resume applies per sequence like the fan-out.
+    ``packed=True`` switches each round to the packed byte transport: ONE
+    (N, L) uint8 upload + ONE dispatch instead of ~2N+3 host<->device
+    interactions (runtime/batched.py::_batched_packed_fn).
     """
     from boxfusion_tpu.eval.ap3d import average_precision_3d
     from boxfusion_tpu.runtime.batched import BatchedPipeline
@@ -218,8 +224,11 @@ def evaluate_sequences_batched(
         if not group:
             break
         if pipe is None:
-            pipe = BatchedPipeline(cfg, detector, n_lanes=lanes,
-                                   capacity=capacity)
+            pipe = BatchedPipeline(
+                cfg, detector, n_lanes=lanes, capacity=capacity,
+                transport="packed" if packed else "arrays",
+                depth_mode=depth_mode, depth_scale=depth_scale,
+            )
         else:
             pipe.reset()
         pipe.run([s for _, s in group], export=False)

@@ -42,17 +42,17 @@ _KEEP = ("scores", "pred_boxes", "boxes3d", "R", "proj_xy")
 # BatchedPipeline instance with the same config shares one executable
 _STEP_CACHE: Dict[tuple, object] = {}
 
+# packed-transport programs additionally key on the model + shape bucket
+_PACKED_CACHE: Dict[tuple, object] = {}
+
 # forward cache keyed on the model (a hashable flax config dataclass):
 # jit keys on the function OBJECT, so a per-instance jax.jit(model.apply)
 # would re-trace the full CuTR forward for every pipeline instance
 _FWD_CACHE: Dict[object, object] = {}
 
 
-def _batched_step_fn(cfg, kmax: int):
-    key = (cfg, kmax)
-    fn = _STEP_CACHE.get(key)
-    if fn is not None:
-        return fn
+def _lane_step(cfg):
+    """One lane's keyframe transition, inactive lanes passing through."""
 
     def lane_step(state, det, meta, active, pst):
         pose = meta[:16].reshape(4, 4)
@@ -68,6 +68,17 @@ def _batched_step_fn(cfg, kmax: int):
 
         return jax.lax.cond(active, go, lambda s: s, state)
 
+    return lane_step
+
+
+def _batched_step_fn(cfg, kmax: int):
+    key = (cfg, kmax)
+    fn = _STEP_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    lane_step = _lane_step(cfg)
+
     def step(states, det, metas, active, pst):
         det = pad_detections(det, kmax)  # shared contract with devdet path
         return jax.vmap(lane_step, in_axes=(0, 0, 0, 0, None))(
@@ -76,6 +87,58 @@ def _batched_step_fn(cfg, kmax: int):
 
     fn = jax.jit(step)
     _STEP_CACHE[key] = fn
+    return fn
+
+
+def _batched_packed_fn(model, cfg, kmax: int, *, h: int, w: int, dh: int,
+                       dw: int, square: int, ratio: int, depth_mode: str):
+    """ONE program for a whole keyframe round: unpack N packed byte
+    buffers, package (normalize/pad/whiten), run the (N, ...) CuTR forward,
+    and vmap the keyframe step -- fed by a single (N, L) uint8 upload.
+
+    The arrays transport pays ~2N+3 host->device interactions per round
+    (per-lane image+depth uploads and package dispatches, the stack, the
+    forward, the step); on remote-attached chips each interaction costs
+    milliseconds of RPC (docs/TUNNEL_PERF_NOTES.md), so the packed
+    transport's 1 upload + 1 execute dominates for eval throughput.  The
+    byte layout is ``runtime.fused.pack_fused_buffer`` exactly.
+    """
+    from boxfusion_tpu.data.preprocess import _package_jit
+    from boxfusion_tpu.runtime.fused import unpack_fused_buffer
+
+    key = (model, cfg, kmax, h, w, dh, dw, square, ratio, depth_mode)
+    fn = _PACKED_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    lane_step = _lane_step(cfg)
+
+    def one(buf):
+        image_u8, depth, meta = unpack_fused_buffer(
+            buf, h=h, w=w, dh=dh, dw=dw, depth_mode=depth_mode
+        )
+        K_img = meta[16:25].reshape(3, 3)
+        T_gravity = meta[37:46].reshape(3, 3)
+        batch = _package_jit(image_u8, depth, K_img, T_gravity, square, ratio)
+        return batch, meta
+
+    def step(params, states, bufs, active, pst):
+        batches, metas = jax.vmap(one)(bufs)
+        # _package_jit leaves carry a leading singleton batch dim; fold the
+        # vmapped lane axis into it -> (N, ...) like the arrays transport
+        stacked = jax.tree.map(
+            lambda x: x.reshape((x.shape[0],) + x.shape[2:]), batches
+        )
+        out = model.apply(params, stacked)
+        det = pad_detections(
+            {k: v for k, v in out.items() if k in _KEEP}, kmax
+        )
+        return jax.vmap(lane_step, in_axes=(0, 0, 0, 0, None))(
+            states, det, metas, active, pst
+        )
+
+    fn = jax.jit(step)
+    _PACKED_CACHE[key] = fn
     return fn
 
 
@@ -92,14 +155,22 @@ class BatchedPipeline:
     """
 
     def __init__(self, cfg, detector: CuTRDetector, n_lanes: int,
-                 capacity: int = 512):
+                 capacity: int = 512, transport: str = "arrays",
+                 depth_mode: str = "u16", depth_scale: float = 1000.0):
         from boxfusion_tpu.utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
+        if transport not in ("arrays", "packed"):
+            raise ValueError(f"transport must be arrays|packed, got {transport}")
+        if depth_mode not in ("u16", "f32"):
+            raise ValueError(f"depth_mode must be u16|f32, got {depth_mode}")
         self.cfg = cfg
         self.detector = detector
         self.n_lanes = int(n_lanes)
         self.capacity = int(capacity)
+        self.transport = transport
+        self.depth_mode = depth_mode
+        self.depth_scale = float(depth_scale)
         self.step_cfg = step_config_from(cfg)
         self.kmax = int(cfg["detection"]["max_detections"])
         self.reset()
@@ -130,6 +201,47 @@ class BatchedPipeline:
     def _pack_meta(self, frame, count: int) -> np.ndarray:
         return pack_meta(frame, count)
 
+    def _process_keyframes_packed(self, frames, counts, live) -> None:
+        """Packed-transport round: ONE (N, L) uint8 upload + ONE dispatch
+        (unpack + package + CuTR forward + vmapped step all in-program)."""
+        from boxfusion_tpu.data.preprocess import resolve_pad_and_ratio
+        from boxfusion_tpu.runtime.fused import pack_fused_buffer
+
+        keys = set()
+        bufs: List[Optional[np.ndarray]] = [None] * self.n_lanes
+        for i in live:
+            f = frames[i]
+            if f.depth is None:
+                raise ValueError(
+                    "packed transport requires depth frames (the buffer "
+                    "layout carries a depth plane); use transport='arrays'"
+                )
+            square, ratio = resolve_pad_and_ratio(
+                f.image, f.depth, self.detector.buckets
+            )
+            keys.add((square, ratio, f.image.shape[:2], f.depth.shape[:2]))
+            bufs[i] = pack_fused_buffer(
+                f, counts[i], self.depth_mode, self.depth_scale
+            )
+        if len(keys) != 1:
+            raise ValueError(
+                f"batched lanes must share one shape bucket, got {sorted(keys)} "
+                "-- group sequences of equal resolution per BatchedPipeline"
+            )
+        square, ratio, (h, w), (dh, dw) = keys.pop()
+        first = bufs[live[0]]
+        stacked = np.stack([b if b is not None else first for b in bufs])
+        active = jnp.asarray([f is not None for f in frames])
+        fn = _batched_packed_fn(
+            self.detector.model, self.step_cfg, self.kmax,
+            h=h, w=w, dh=dh, dw=dw, square=square, ratio=ratio,
+            depth_mode=self.depth_mode,
+        )
+        self.states = fn(
+            self.detector.params, self.states, jnp.asarray(stacked),
+            active, self.pst,
+        )
+
     def process_keyframes(self, frames: Sequence[Optional[object]],
                           counts: Sequence[int]) -> None:
         """One lockstep keyframe round.
@@ -141,6 +253,8 @@ class BatchedPipeline:
         live = [i for i, f in enumerate(frames) if f is not None]
         if not live:
             return
+        if self.transport == "packed":
+            return self._process_keyframes_packed(frames, counts, live)
         batches, keys = [], set()
         metas = np.zeros((self.n_lanes, META_WIDTH), np.float32)
         for i in live:

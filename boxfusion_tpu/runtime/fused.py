@@ -41,11 +41,72 @@ from boxfusion_tpu.data.preprocess import (
 )
 from boxfusion_tpu.runtime.detector import _TAKE, CuTRDetector
 from boxfusion_tpu.runtime.device_pipeline import DevicePipeline
-from boxfusion_tpu.runtime.device_step import _keyframe_step_impl
+from boxfusion_tpu.runtime.device_step import _keyframe_step_impl, pad_detections
 
 # pose 16 | K_img 9 | K_depth 9 | image_hw 2 | frame_idx 1  (= device_step
 # META layout, device_step.py:736) | T_gravity 9 | depth_scale 1 | pad 1
 FUSED_META_WIDTH = 48
+
+
+def pack_fused_buffer(frame, count: int, depth_mode: str,
+                      depth_scale: float) -> np.ndarray:
+    """Pack one frame into the flat uint8 transfer buffer (module docstring
+    layout).  Shared by the B=1 fused engine and the batched packed
+    transport so the byte layout has exactly one definition."""
+    h, w = frame.image.shape[:2]
+    dh, dw = frame.depth.shape[:2]
+    n_img = h * w * 3
+    n_dep = dh * dw * (2 if depth_mode == "u16" else 4)
+    buf = np.empty(n_img + n_dep + FUSED_META_WIDTH * 4, np.uint8)
+    buf[:n_img] = np.ascontiguousarray(frame.image, np.uint8).reshape(-1)
+    if depth_mode == "u16":
+        # f32 throughout: scale+round-half-up+clip in one fused pass
+        # (a float64 detour here measurably costs host time per keyframe;
+        # f32 holds every integer to 2^24 so the 0..65535 result is exact)
+        d = np.clip(
+            np.asarray(frame.depth, np.float32) * np.float32(depth_scale)
+            + np.float32(0.5),
+            0,
+            65535,
+        ).astype("<u2")
+    else:
+        d = np.asarray(frame.depth, "<f4")
+    buf[n_img : n_img + n_dep] = d.reshape(-1).view(np.uint8)
+    meta = np.zeros(FUSED_META_WIDTH, "<f4")
+    meta[:16] = np.asarray(frame.gt_pose, np.float32).ravel()
+    meta[16:25] = np.asarray(frame.K, np.float32).ravel()
+    meta[25:34] = np.asarray(frame.K_depth, np.float32).ravel()
+    meta[34:36] = (float(h), float(w))
+    meta[36] = float(count)
+    meta[37:46] = np.asarray(frame.T_gravity, np.float32).ravel()
+    meta[46] = depth_scale
+    buf[n_img + n_dep :] = meta.view(np.uint8)
+    return buf
+
+
+def unpack_fused_buffer(buf, *, h: int, w: int, dh: int, dw: int,
+                        depth_mode: str):
+    """Device-side inverse of ``pack_fused_buffer`` (traced; one frame).
+
+    Returns (image_u8 (h, w, 3), metric depth (dh, dw), meta (48,) f32).
+    """
+    n_img = h * w * 3
+    n_dep = dh * dw * (2 if depth_mode == "u16" else 4)
+    image_u8 = buf[:n_img].reshape(h, w, 3)
+    d_raw = buf[n_img : n_img + n_dep]
+    meta = jax.lax.bitcast_convert_type(
+        buf[n_img + n_dep :].reshape(FUSED_META_WIDTH, 4), jnp.float32
+    )
+    if depth_mode == "u16":
+        depth = jax.lax.bitcast_convert_type(
+            d_raw.reshape(dh, dw, 2), jnp.uint16
+        ).astype(jnp.float32)
+        depth = depth / meta[46]  # depth_scale (units per metre)
+    else:
+        depth = jax.lax.bitcast_convert_type(
+            d_raw.reshape(dh, dw, 4), jnp.float32
+        )
+    return image_u8, depth, meta
 
 # Module-level program cache.  jit caches key on the traced function OBJECT,
 # so per-pipeline closures would re-trace (tens of seconds for CuTR+CLIP)
@@ -99,22 +160,9 @@ def make_fused_keyframe_fn(
     if cached is not None:
         return cached
 
-    n_img = h * w * 3
-    n_dep = dh * dw * (2 if depth_mode == "u16" else 4)
-
     def fused(params, clip_params, text_features, state, buf, pst):
-        image_u8 = buf[:n_img].reshape(h, w, 3)
-        d_raw = buf[n_img : n_img + n_dep]
-        if depth_mode == "u16":
-            depth = jax.lax.bitcast_convert_type(
-                d_raw.reshape(dh, dw, 2), jnp.uint16
-            ).astype(jnp.float32)
-        else:
-            depth = jax.lax.bitcast_convert_type(
-                d_raw.reshape(dh, dw, 4), jnp.float32
-            )
-        meta = jax.lax.bitcast_convert_type(
-            buf[n_img + n_dep :].reshape(FUSED_META_WIDTH, 4), jnp.float32
+        image_u8, depth, meta = unpack_fused_buffer(
+            buf, h=h, w=w, dh=dh, dw=dw, depth_mode=depth_mode
         )
         pose = meta[:16].reshape(4, 4)
         K_img = meta[16:25].reshape(3, 3)
@@ -122,8 +170,6 @@ def make_fused_keyframe_fn(
         image_hw = meta[34:36]
         frame_idx = meta[36].astype(jnp.int32)
         T_gravity = meta[37:46].reshape(3, 3)
-        if depth_mode == "u16":
-            depth = depth / meta[46]  # depth_scale (units per metre)
 
         batch = _package_jit(image_u8, depth, K_img, T_gravity, square, ratio)
         out = model.apply(params, batch)
@@ -161,29 +207,7 @@ def make_fused_keyframe_fn(
             )
 
         # pad/truncate to the step's static detection budget
-        n = int(det["scores"].shape[0])
-
-        def pad(x, fill=0.0):
-            x = x[:kmax]
-            if x.shape[0] < kmax:
-                pads = [(0, kmax - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
-                x = jnp.pad(x, pads, constant_values=fill)
-            return x
-
-        scores = pad(det["scores"], -1e9)
-        boxes3d = pad(det["boxes3d"])
-        if n < kmax:
-            boxes3d = boxes3d.at[n:, 3:].set(1.0)
-        det = dict(
-            scores=scores,
-            pred_boxes=pad(det["pred_boxes"]),
-            boxes3d=boxes3d,
-            R=pad(det["R"]),
-            proj_xy=pad(det.get("proj_xy", jnp.zeros((n, 2)))),
-            category=pad(
-                det.get("category", jnp.zeros(n, jnp.int32))
-            ).astype(jnp.int32),
-        )
+        det = pad_detections(det, kmax)
         state = _keyframe_step_impl(
             state, det, pst, pose, K_img, K_depth, image_hw, frame_idx, step_cfg
         )
@@ -255,35 +279,8 @@ class FusedDevicePipeline(DevicePipeline):
         return fn
 
     def _pack_buffer(self, frame) -> np.ndarray:
-        h, w = frame.image.shape[:2]
-        dh, dw = frame.depth.shape[:2]
-        n_img = h * w * 3
-        n_dep = dh * dw * (2 if self.depth_mode == "u16" else 4)
-        buf = np.empty(n_img + n_dep + FUSED_META_WIDTH * 4, np.uint8)
-        buf[:n_img] = np.ascontiguousarray(frame.image, np.uint8).reshape(-1)
-        if self.depth_mode == "u16":
-            # f32 throughout: scale+round-half-up+clip in one fused pass
-            # (a float64 detour here measurably costs host time per keyframe;
-            # f32 holds every integer to 2^24 so the 0..65535 result is exact)
-            d = np.clip(
-                np.asarray(frame.depth, np.float32) * np.float32(self.depth_scale)
-                + np.float32(0.5),
-                0,
-                65535,
-            ).astype("<u2")
-        else:
-            d = np.asarray(frame.depth, "<f4")
-        buf[n_img : n_img + n_dep] = d.reshape(-1).view(np.uint8)
-        meta = np.zeros(FUSED_META_WIDTH, "<f4")
-        meta[:16] = np.asarray(frame.gt_pose, np.float32).ravel()
-        meta[16:25] = np.asarray(frame.K, np.float32).ravel()
-        meta[25:34] = np.asarray(frame.K_depth, np.float32).ravel()
-        meta[34:36] = (float(h), float(w))
-        meta[36] = float(self.count)
-        meta[37:46] = np.asarray(frame.T_gravity, np.float32).ravel()
-        meta[46] = self.depth_scale
-        buf[n_img + n_dep :] = meta.view(np.uint8)
-        return buf
+        return pack_fused_buffer(frame, self.count, self.depth_mode,
+                                 self.depth_scale)
 
     def _fused_step(self, fn, buf: np.ndarray) -> None:
         try:

@@ -111,6 +111,47 @@ def test_batched_reset_tail_group_and_deferred_export(cutr):
         )
 
 
+def test_packed_transport_matches_arrays(cutr):
+    """transport='packed' (one stacked byte upload + one dispatch per
+    round) must build the same worlds as the arrays transport.  f32 depth
+    mode is bit-exact for synthetic float depth; u16 mode is additionally
+    smoke-checked (millimetre quantization, the dataset-lossless path)."""
+    model, params = cutr
+    cfg = _cfg()
+    seqs = [
+        list(SyntheticSequence(n_frames=11, n_boxes=3, seed=s)) for s in range(2)
+    ]
+
+    arrays = BatchedPipeline(cfg, CuTRDetector(model, params), n_lanes=2,
+                             capacity=64)
+    w_arr = arrays.run([iter(s) for s in seqs], gap=5)
+
+    packed = BatchedPipeline(cfg, CuTRDetector(model, params), n_lanes=2,
+                             capacity=64, transport="packed",
+                             depth_mode="f32")
+    w_pk = packed.run([iter(s) for s in seqs], gap=5)
+
+    for lane, (a, b) in enumerate(zip(w_arr, w_pk)):
+        assert len(a["scores"]) == len(b["scores"]), lane
+        ao = np.argsort(np.asarray(a["init_id"]))
+        bo = np.argsort(np.asarray(b["init_id"]))
+        np.testing.assert_array_equal(
+            np.asarray(a["init_id"])[ao], np.asarray(b["init_id"])[bo]
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["xyzlhw"])[ao], np.asarray(b["xyzlhw"])[bo],
+            atol=1e-4,
+        )
+
+    # u16 depth (lossless for on-disk u16 datasets): runs and stays close
+    pk16 = BatchedPipeline(cfg, CuTRDetector(model, params), n_lanes=2,
+                           capacity=64, transport="packed",
+                           depth_mode="u16", depth_scale=1000.0)
+    w16 = pk16.run([iter(s) for s in seqs], gap=5)
+    assert all(w["stats"]["keyframes"] == w_arr[i]["stats"]["keyframes"]
+               for i, w in enumerate(w16))
+
+
 def test_pad_detections_batched_matches_single():
     """The shared padding contract: running pad_detections on a (B, N, ...)
     stack equals stacking per-frame (N, ...) results."""
