@@ -91,22 +91,40 @@ def _batched_step_fn(cfg, kmax: int):
 
 
 def _batched_packed_fn(model, cfg, kmax: int, *, h: int, w: int, dh: int,
-                       dw: int, square: int, ratio: int, depth_mode: str):
+                       dw: int, square: int, ratio: int, depth_mode: str,
+                       labeler=None, label_budget: int = 32,
+                       scale_box: float = 1.5, clip_coeff: float = 0.0,
+                       raw_score_thresh: float = 0.0):
     """ONE program for a whole keyframe round: unpack N packed byte
     buffers, package (normalize/pad/whiten), run the (N, ...) CuTR forward,
-    and vmap the keyframe step -- fed by a single (N, L) uint8 upload.
+    optionally CLIP-label every lane, and vmap the keyframe step -- fed by
+    a single (N, L) uint8 upload.
 
     The arrays transport pays ~2N+3 host->device interactions per round
     (per-lane image+depth uploads and package dispatches, the stack, the
     forward, the step); on remote-attached chips each interaction costs
     milliseconds of RPC (docs/TUNNEL_PERF_NOTES.md), so the packed
     transport's 1 upload + 1 execute dominates for eval throughput.  The
-    byte layout is ``runtime.fused.pack_fused_buffer`` exactly.
+    byte layout is ``runtime.fused.pack_fused_buffer`` exactly; the
+    labeling semantics (raw-score filter before CLIP, boost, background
+    drop, per-lane budget-overflow counters into stats[4]) are the fused
+    B=1 engine's (fused.py) with a lane axis.
     """
-    from boxfusion_tpu.data.preprocess import _package_jit
+    import dataclasses
+
+    from boxfusion_tpu.data.preprocess import (
+        PIXEL_MEAN_U8,
+        PIXEL_STD_U8,
+        _package_jit,
+    )
     from boxfusion_tpu.runtime.fused import unpack_fused_buffer
 
-    key = (model, cfg, kmax, h, w, dh, dw, square, ratio, depth_mode)
+    key = (
+        model, cfg, kmax, h, w, dh, dw, square, ratio, depth_mode,
+        None if labeler is None else (labeler.cfg, labeler.text_features.shape,
+                                      labeler.sim_thres),
+        label_budget, scale_box, clip_coeff, raw_score_thresh,
+    )
     fn = _PACKED_CACHE.get(key)
     if fn is not None:
         return fn
@@ -122,7 +140,14 @@ def _batched_packed_fn(model, cfg, kmax: int, *, h: int, w: int, dh: int,
         batch = _package_jit(image_u8, depth, K_img, T_gravity, square, ratio)
         return batch, meta
 
-    def step(params, states, bufs, active, pst):
+    def lane(state, det, meta, act, ovf, pst):
+        # per-lane label-budget overflow -> stats[4]; no-op when inactive
+        state = dataclasses.replace(
+            state, stats=state.stats.at[4].add(jnp.where(act, ovf, 0))
+        )
+        return lane_step(state, det, meta, act, pst)
+
+    def step(params, clip_params, text_features, states, bufs, active, pst):
         batches, metas = jax.vmap(one)(bufs)
         # _package_jit leaves carry a leading singleton batch dim; fold the
         # vmapped lane axis into it -> (N, ...) like the arrays transport
@@ -130,11 +155,33 @@ def _batched_packed_fn(model, cfg, kmax: int, *, h: int, w: int, dh: int,
             lambda x: x.reshape((x.shape[0],) + x.shape[2:]), batches
         )
         out = model.apply(params, stacked)
-        det = pad_detections(
-            {k: v for k, v in out.items() if k in _KEEP}, kmax
-        )
-        return jax.vmap(lane_step, in_axes=(0, 0, 0, 0, None))(
-            states, det, metas, active, pst
+        det = {k: v for k, v in out.items() if k in _KEEP}
+        n_lanes = det["scores"].shape[0]
+        if labeler is not None:
+            imgs = stacked.image * jnp.asarray(PIXEL_STD_U8) + jnp.asarray(
+                PIXEL_MEAN_U8
+            )
+            raw_ok = det["scores"] >= raw_score_thresh
+            masked = jnp.where(raw_ok, det["scores"], -1e9)
+            budget = min(int(label_budget), int(det["pred_boxes"].shape[1]))
+
+            def boost(img, boxes, sc, hw):
+                return labeler._boost_impl(
+                    img, boxes, sc, hw,
+                    jnp.float32(scale_box), jnp.float32(clip_coeff), budget,
+                    params=clip_params, text_features=text_features,
+                )
+
+            new_scores, cats, _, overflow = jax.vmap(boost)(
+                imgs, det["pred_boxes"], masked, metas[:, 34:36]
+            )
+            det["scores"] = jnp.where(raw_ok, new_scores, -1e9)
+            det["category"] = cats
+        else:
+            overflow = jnp.zeros((n_lanes,), jnp.int32)
+        det = pad_detections(det, kmax)
+        return jax.vmap(lane, in_axes=(0, 0, 0, 0, 0, None))(
+            states, det, metas, active, overflow, pst
         )
 
     fn = jax.jit(step)
@@ -156,7 +203,10 @@ class BatchedPipeline:
 
     def __init__(self, cfg, detector: CuTRDetector, n_lanes: int,
                  capacity: int = 512, transport: str = "arrays",
-                 depth_mode: str = "u16", depth_scale: float = 1000.0):
+                 depth_mode: str = "u16", depth_scale: float = 1000.0,
+                 labeler=None):
+        import dataclasses
+
         from boxfusion_tpu.utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
@@ -164,14 +214,29 @@ class BatchedPipeline:
             raise ValueError(f"transport must be arrays|packed, got {transport}")
         if depth_mode not in ("u16", "f32"):
             raise ValueError(f"depth_mode must be u16|f32, got {depth_mode}")
+        if labeler is not None and transport != "packed":
+            raise ValueError(
+                "open-vocab labeling is traced into the packed program; use "
+                "transport='packed' with a labeler"
+            )
         self.cfg = cfg
         self.detector = detector
+        self.labeler = labeler
         self.n_lanes = int(n_lanes)
         self.capacity = int(capacity)
         self.transport = transport
         self.depth_mode = depth_mode
         self.depth_scale = float(depth_scale)
         self.step_cfg = step_config_from(cfg)
+        self.class_list = None
+        if labeler is not None:
+            # raw-score filter runs before CLIP inside the program; the
+            # step must not re-test the boosted scores (device_pipeline.py)
+            self.step_cfg = dataclasses.replace(self.step_cfg, score_thresh=-1e8)
+            self.class_list = list(labeler.class_list) + [""]
+            self._tf_dev = jnp.asarray(
+                np.asarray(labeler.text_features, np.float32)
+            )
         self.kmax = int(cfg["detection"]["max_detections"])
         self.reset()
         bf = cfg["box_fusion"]
@@ -232,14 +297,27 @@ class BatchedPipeline:
         first = bufs[live[0]]
         stacked = np.stack([b if b is not None else first for b in bufs])
         active = jnp.asarray([f is not None for f in frames])
+        if self.labeler is not None:
+            det_cfg = self.cfg["detection"]
+            label_kw = dict(
+                labeler=self.labeler,
+                label_budget=int(det_cfg["max_label_boxes"]),
+                scale_box=float(det_cfg["scale_box"]),
+                clip_coeff=float(self.cfg["box_fusion"]["clip_sim_coeff"]),
+                raw_score_thresh=float(det_cfg["score_thresh"]),
+            )
+            clip_params, tf = self.labeler.params, self._tf_dev
+        else:
+            label_kw = {}
+            clip_params = tf = None
         fn = _batched_packed_fn(
             self.detector.model, self.step_cfg, self.kmax,
             h=h, w=w, dh=dh, dw=dw, square=square, ratio=ratio,
-            depth_mode=self.depth_mode,
+            depth_mode=self.depth_mode, **label_kw,
         )
         self.states = fn(
-            self.detector.params, self.states, jnp.asarray(stacked),
-            active, self.pst,
+            self.detector.params, clip_params, tf, self.states,
+            jnp.asarray(stacked), active, self.pst,
         )
 
     def process_keyframes(self, frames: Sequence[Optional[object]],
@@ -350,6 +428,9 @@ class BatchedPipeline:
         -- call only after all timed streaming is done."""
         n = getattr(self, "n_run", self.n_lanes) if n is None else n
         return [
-            export_world(jax.tree.map(lambda x, i=i: x[i], self.states))
+            export_world(
+                jax.tree.map(lambda x, i=i: x[i], self.states),
+                class_list=self.class_list,
+            )
             for i in range(n)
         ]

@@ -152,6 +152,83 @@ def test_packed_transport_matches_arrays(cutr):
                for i, w in enumerate(w16))
 
 
+def test_packed_with_labeler_matches_fused(cutr):
+    """Batched packed transport WITH open-vocab labeling: every lane's
+    world (boxes, scores incl. CLIP boost, categories, overflow counter)
+    must match a dedicated FusedDevicePipeline run of the same frames --
+    the labeling semantics are the fused engine's with a lane axis."""
+    import dataclasses as dc
+
+    from boxfusion_tpu.models.clip.head import OpenVocabLabeler
+    from boxfusion_tpu.models.clip.model import CLIPConfig
+    from boxfusion_tpu.runtime.fused import FusedDevicePipeline
+
+    model, params = cutr
+    cfg = _cfg()
+    cfg["box_fusion"]._data["clip_sim_coeff"] = 2.0
+
+    tiny = CLIPConfig(
+        patch=32, width=64, layers=2, heads=2, embed_dim=32,
+        vocab_size=64, context_length=8, text_width=64, text_layers=1,
+        text_heads=2,
+    )
+    tf = np.random.RandomState(0).randn(4, 32).astype(np.float32)
+    classes = ["chair", "table", "sofa", "lamp"]
+
+    def mk_labeler():
+        return OpenVocabLabeler(
+            classes, tf, cfg=tiny, sim_thres=-1e9, max_boxes=16
+        ).init_random(0)
+
+    def mm(seq):  # u16-mm-exact depth so the packed transfer is lossless
+        return [
+            dc.replace(f, depth=(np.round(f.depth * 1000.0) / 1000.0)
+                       .astype(np.float32))
+            for f in seq
+        ]
+
+    seqs = [mm(SyntheticSequence(n_frames=11, n_boxes=3, seed=s))
+            for s in (1, 4)]
+
+    batched = BatchedPipeline(
+        cfg, CuTRDetector(model, params), n_lanes=2, capacity=64,
+        transport="packed", depth_mode="u16", labeler=mk_labeler(),
+    )
+    worlds = batched.run([iter(s) for s in seqs], gap=5)
+
+    for lane, frames in enumerate(seqs):
+        ref = FusedDevicePipeline(
+            cfg, CuTRDetector(model, params), labeler=mk_labeler(),
+            capacity=64, depth_mode="u16",
+        )
+        ref_world = ref.run(frames, gap=5)
+        got = worlds[lane]
+        assert len(got["scores"]) == len(ref_world["scores"]), lane
+        go = np.argsort(np.asarray(got["init_id"]))
+        ro = np.argsort(np.asarray(ref_world["init_id"]))
+        np.testing.assert_array_equal(
+            np.asarray(got["init_id"])[go], np.asarray(ref_world["init_id"])[ro]
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["scores"])[go],
+            np.asarray(ref_world["scores"])[ro], atol=1e-4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got["category"])[go],
+            np.asarray(ref_world["category"])[ro],
+        )
+        # open-vocab string labels present and consistent with the ids
+        label_of = classes + [""]
+        assert got["categories"] == [
+            label_of[int(c)] for c in np.asarray(got["category"])
+        ]
+        np.testing.assert_allclose(
+            np.asarray(got["xyzlhw"])[go],
+            np.asarray(ref_world["xyzlhw"])[ro], atol=1e-4,
+        )
+        assert got["stats"]["label_overflow"] == ref_world["stats"]["label_overflow"], lane
+
+
 def test_pad_detections_batched_matches_single():
     """The shared padding contract: running pad_detections on a (B, N, ...)
     stack equals stacking per-frame (N, ...) results."""
