@@ -84,7 +84,7 @@ def main(argv=None) -> int:
         "execute per keyframe; fastest on remote-attached chips)",
     )
     p.add_argument(
-        "--lanes", default=0, type=int, metavar="N",
+        "--lanes", default=None, type=int, metavar="N",
         help="single-chip batched mode: run N sequences in lockstep through "
         "one vmapped pipeline (MXU batching; sequences must share one "
         "resolution bucket). Mutually exclusive with --fused.",
@@ -102,14 +102,14 @@ def main(argv=None) -> int:
 
     cfg = load_config(args.config)
 
-    if args.fused and args.lanes:
+    if args.fused and args.lanes is not None:
         p.error("--fused and --lanes are mutually exclusive")
-    if args.lanes < 0:
+    if args.lanes is not None and args.lanes < 1:
         p.error(f"--lanes must be >= 1 (got {args.lanes})")
-    if args.packed and not args.lanes:
+    if args.packed and args.lanes is None:
         p.error("--packed requires --lanes N")
     if args.synthetic:
-        if args.fused or args.lanes:
+        if args.fused or args.lanes is not None:
             p.error(
                 "--fused/--lanes need a CuTR detector; --synthetic uses the "
                 "oracle detector (drop the flag, or run on real data)"
@@ -161,7 +161,7 @@ def main(argv=None) -> int:
         params_dev = jax.device_put(params_host)
         return CuTRDetector(det0.model, params_dev, device_output=True)
 
-    if args.lanes:
+    if args.lanes is not None:
         from boxfusion_tpu.eval.runner import evaluate_sequences_batched
 
         out = evaluate_sequences_batched(

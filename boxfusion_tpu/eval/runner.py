@@ -42,6 +42,50 @@ def _world_corners(world: Dict[str, np.ndarray]) -> np.ndarray:
     )
 
 
+def _finalize_world(
+    world: Dict, video_id: str, fps: float, seq, cfg,
+    gt_provider: Optional[Callable], output_dir: Optional[str],
+) -> Dict:
+    """Phase-2 per-sequence work shared by both runners: capacity-overflow
+    warning, result entry, optional GT attachment, reference-format pickle."""
+    from boxfusion_tpu.utils.io import save_eval_pickle
+
+    st = world["stats"]
+    if st["dropped_world_capacity"] or st["dropped_obs_capacity"]:
+        print(
+            f"[eval] WARNING {video_id}: capacity overflow dropped "
+            f"{st['dropped_world_capacity']} detections / "
+            f"{st['dropped_obs_capacity']} observations; raise capacity."
+        )
+    corners = _world_corners(world)
+    entry = dict(
+        video_id=video_id,
+        n_boxes=int(len(world["scores"])),
+        fps=fps,
+        pred_corners=corners,
+        pred_scores=np.asarray(world["scores"]),
+    )
+    if gt_provider is not None:
+        entry["gt_corners"] = np.asarray(gt_provider(seq))
+    if output_dir:
+        save_eval_pickle(corners, output_dir, video_id, cfg["dataset"])
+    return entry
+
+
+def _summarize(results, wall_s: float, gt_provider) -> Dict:
+    from boxfusion_tpu.eval.ap3d import average_precision_3d
+
+    out = dict(
+        sequences=results,
+        wall_s=wall_s,
+        mean_fps=float(np.mean([r["fps"] for r in results])) if results else 0.0,
+    )
+    if gt_provider is not None and results:
+        out["ap_0.25"] = average_precision_3d(results, iou_thresh=0.25)
+        out["ap_0.50"] = average_precision_3d(results, iou_thresh=0.50)
+    return out
+
+
 def evaluate_sequences(
     cfg,
     sequences: Sequence,
@@ -74,11 +118,9 @@ def evaluate_sequences(
     Returns:
       dict with per-sequence results and (if gt_provider) AP metrics.
     """
-    from boxfusion_tpu.eval.ap3d import average_precision_3d
     from boxfusion_tpu.runtime.device_pipeline import DevicePipeline
     from boxfusion_tpu.runtime.device_state import export_world
     from boxfusion_tpu.runtime.fused import FusedDevicePipeline
-    from boxfusion_tpu.utils.io import save_eval_pickle
 
     def make_pipe(detector, dev):
         if fused:
@@ -90,7 +132,7 @@ def evaluate_sequences(
 
     devices = devices or jax.devices()
     pipes: Dict[int, DevicePipeline] = {}  # one long-lived pipeline per device
-    stashed = []  # (video_id, final DeviceState, fps, seq, out_path)
+    stashed = []  # (video_id, final DeviceState, fps, seq-for-GT)
     t0 = time.time()
 
     # --- phase 1: stream every sequence, D2H-free --------------------------
@@ -120,47 +162,18 @@ def evaluate_sequences(
         # holding reader/prefetcher resources; don't keep hundreds alive)
         stashed.append(
             (video_id, pipe.state, pipe.fps,
-             seq if gt_provider is not None else None, out_path)
+             seq if gt_provider is not None else None)
         )
 
     # --- phase 2: export + pickle + score everything -----------------------
     results = []
     wall_s = time.time() - t0  # streaming time; exports excluded by design
-    for video_id, state, fps, seq, out_path in stashed:
-        world = export_world(state)
-        st = world["stats"]
-        if st["dropped_world_capacity"] or st["dropped_obs_capacity"]:
-            print(
-                f"[eval] WARNING {video_id}: capacity overflow dropped "
-                f"{st['dropped_world_capacity']} detections / "
-                f"{st['dropped_obs_capacity']} observations; raise capacity."
-            )
-        corners = _world_corners(world)
-        entry = dict(
-            video_id=video_id,
-            n_boxes=int(len(world["scores"])),
-            fps=fps,
-            pred_corners=corners,
-            pred_scores=np.asarray(world["scores"]),
-        )
-        if gt_provider is not None:
-            entry["gt_corners"] = np.asarray(gt_provider(seq))
-        results.append(entry)
-
-        if out_path:
-            save_eval_pickle(
-                corners, output_dir, video_id, cfg["dataset"]
-            )
-
-    out = dict(
-        sequences=results,
-        wall_s=wall_s,
-        mean_fps=float(np.mean([r["fps"] for r in results])) if results else 0.0,
-    )
-    if gt_provider is not None and results:
-        out["ap_0.25"] = average_precision_3d(results, iou_thresh=0.25)
-        out["ap_0.50"] = average_precision_3d(results, iou_thresh=0.50)
-    return out
+    for video_id, state, fps, seq in stashed:
+        results.append(_finalize_world(
+            export_world(state), video_id, fps, seq, cfg,
+            gt_provider, output_dir,
+        ))
+    return _summarize(results, wall_s, gt_provider)
 
 
 def evaluate_sequences_batched(
@@ -195,10 +208,8 @@ def evaluate_sequences_batched(
     (N, L) uint8 upload + ONE dispatch instead of ~2N+3 host<->device
     interactions (runtime/batched.py::_batched_packed_fn).
     """
-    from boxfusion_tpu.eval.ap3d import average_precision_3d
     from boxfusion_tpu.runtime.batched import BatchedPipeline
     from boxfusion_tpu.runtime.device_state import export_world
-    from boxfusion_tpu.utils.io import save_eval_pickle
 
     if lanes < 1:
         raise ValueError(f"lanes must be >= 1, got {lanes}")
@@ -244,33 +255,7 @@ def evaluate_sequences_batched(
     for states, entries in stashed:
         for j, (video_id, fps, seq) in enumerate(entries):
             world = export_world(jax.tree.map(lambda x, j=j: x[j], states))
-            st = world["stats"]
-            if st["dropped_world_capacity"] or st["dropped_obs_capacity"]:
-                print(
-                    f"[eval] WARNING {video_id}: capacity overflow dropped "
-                    f"{st['dropped_world_capacity']} detections / "
-                    f"{st['dropped_obs_capacity']} observations; raise capacity."
-                )
-            corners = _world_corners(world)
-            entry = dict(
-                video_id=video_id,
-                n_boxes=int(len(world["scores"])),
-                fps=fps,
-                pred_corners=corners,
-                pred_scores=np.asarray(world["scores"]),
-            )
-            if gt_provider is not None:
-                entry["gt_corners"] = np.asarray(gt_provider(seq))
-            results.append(entry)
-            if output_dir:
-                save_eval_pickle(corners, output_dir, video_id, cfg["dataset"])
-
-    out = dict(
-        sequences=results,
-        wall_s=wall_s,
-        mean_fps=float(np.mean([r["fps"] for r in results])) if results else 0.0,
-    )
-    if gt_provider is not None and results:
-        out["ap_0.25"] = average_precision_3d(results, iou_thresh=0.25)
-        out["ap_0.50"] = average_precision_3d(results, iou_thresh=0.50)
-    return out
+            results.append(_finalize_world(
+                world, video_id, fps, seq, cfg, gt_provider, output_dir,
+            ))
+    return _summarize(results, wall_s, gt_provider)
