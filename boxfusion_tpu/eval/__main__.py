@@ -94,6 +94,10 @@ def main(argv=None) -> int:
         help="with --lanes: packed byte transport, ONE (N, L) upload + ONE "
         "dispatch per keyframe round (fastest on remote-attached chips)",
     )
+    p.add_argument("--clip-path", default=None,
+                   help="CLIP weights: enables open-vocab labeling in-eval")
+    p.add_argument("--class_txt", default="./data/panoptic_categories_nomerge.txt")
+    p.add_argument("--class_features", default="./data/class_features.pt")
     args = p.parse_args(argv)
 
     from boxfusion_tpu.data import get_dataset
@@ -146,10 +150,34 @@ def main(argv=None) -> int:
     from boxfusion_tpu.cli import _build_cutr_detector
     from boxfusion_tpu.runtime.detector import CuTRDetector
 
+    # open-vocab labeling (same assets/flags as the main CLI, demo.py:458-461)
+    labeler = None
+    wants_label = bool(
+        args.clip_path
+        or (os.path.exists(args.class_features) and os.path.exists(args.class_txt))
+    )
+    if wants_label:
+        try:
+            from boxfusion_tpu.models.clip import build_labeler
+
+            labeler = build_labeler(
+                args.clip_path, args.class_txt, args.class_features,
+                sim_thres=float(cfg["detection"]["class_sim_thres"]),
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"[eval] open-vocab labeling disabled: {e}")
+    if labeler is not None and args.lanes is not None and not args.packed:
+        p.error("labeling with --lanes requires --packed (the label stage is "
+                "traced into the packed program)")
+
     det_args = SimpleNamespace(
         model_path=args.model_path, dimension=args.dimension
     )
-    det0 = _build_cutr_detector(det_args, cfg, device_output=True)
+    # export_image: the device-resident label path crops the on-device image
+    det0 = _build_cutr_detector(
+        det_args, cfg, device_output=True,
+        export_image=labeler is not None and args.lanes is None and not args.fused,
+    )
     # keep the weights host-side so each sequence's detector places them on
     # the runner's round-robin device (committed device arrays would pin all
     # compute to the device the checkpoint was loaded on).
@@ -173,6 +201,7 @@ def main(argv=None) -> int:
             capacity=args.capacity,
             packed=args.packed,
             depth_scale=float(cfg["cam"]["png_depth_scale"]),
+            labeler=labeler,
         )
     else:
         out = evaluate_sequences(
@@ -183,6 +212,7 @@ def main(argv=None) -> int:
             capacity=args.capacity,
             fused=args.fused,
             depth_scale=float(cfg["cam"]["png_depth_scale"]),
+            labeler=labeler,
         )
     print(
         f"[eval] {len(out['sequences'])} sequences in {out['wall_s']:.1f}s, "

@@ -96,6 +96,7 @@ def evaluate_sequences(
     capacity: int = 512,
     fused: bool = False,
     depth_scale: float = 1000.0,
+    labeler=None,
 ) -> Dict:
     """Run the online pipeline over many sequences, fanned out over devices.
 
@@ -125,10 +126,11 @@ def evaluate_sequences(
     def make_pipe(detector, dev):
         if fused:
             return FusedDevicePipeline(
-                cfg, detector, capacity=capacity, device=dev,
+                cfg, detector, labeler=labeler, capacity=capacity, device=dev,
                 depth_scale=depth_scale,
             )
-        return DevicePipeline(cfg, detector, capacity=capacity, device=dev)
+        return DevicePipeline(cfg, detector, labeler=labeler,
+                              capacity=capacity, device=dev)
 
     devices = devices or jax.devices()
     pipes: Dict[int, DevicePipeline] = {}  # one long-lived pipeline per device
@@ -187,6 +189,7 @@ def evaluate_sequences_batched(
     packed: bool = False,
     depth_mode: str = "u16",
     depth_scale: float = 1000.0,
+    labeler=None,
 ) -> Dict:
     """Single-chip batched eval: groups of ``lanes`` sequences run in
     lockstep through ONE ``BatchedPipeline`` (vmapped keyframe step + one
@@ -239,6 +242,7 @@ def evaluate_sequences_batched(
                 cfg, detector, n_lanes=lanes, capacity=capacity,
                 transport="packed" if packed else "arrays",
                 depth_mode=depth_mode, depth_scale=depth_scale,
+                labeler=labeler,
             )
         else:
             pipe.reset()

@@ -203,3 +203,59 @@ def test_evaluate_sequences_batched_lanes(tmp_path):
     assert len(out["sequences"]) == 5
     for s in range(5):
         assert (tmp_path / f"lane{s}_boxes.pkl").exists()
+
+
+def test_evaluate_sequences_batched_packed_with_labeler(tmp_path):
+    """Labeled packed --lanes eval end to end: worlds carry open-vocab
+    categories, pickles are written, per-lane fps recorded."""
+    import jax
+
+    from boxfusion_tpu.data.preprocess import Preprocessor
+    from boxfusion_tpu.data.synthetic import SyntheticSequence
+    from boxfusion_tpu.eval import evaluate_sequences_batched
+    from boxfusion_tpu.models.clip.head import OpenVocabLabeler
+    from boxfusion_tpu.models.clip.model import CLIPConfig
+    from boxfusion_tpu.models.cutr import make_cutr
+    from boxfusion_tpu.runtime.detector import CuTRDetector
+    from boxfusion_tpu.utils.config import load_config
+
+    cfg = load_config("config/ca1m.yaml")
+    cfg["data"]._data["gap"] = 5
+    cfg["detection"]._data["score_thresh"] = 0.1
+    cfg["detection"]._data["uv_bound"] = False
+    cfg["detection"]._data["floor_mask"] = False
+    cfg["detection"]._data["max_detections"] = 16
+    cfg["box_fusion"]._data["pst_path"] = None
+    cfg["box_fusion"]._data["pst_size"] = 128
+    cfg["box_fusion"]._data["iters"] = 4
+    cfg["box_fusion"]._data["max_fusions_per_frame"] = 4
+    cfg["association"]._data["max_views"] = 5
+
+    model = make_cutr(dimension=192, depth_model=True)
+    s0 = SyntheticSequence(n_frames=1, n_boxes=2, seed=0)
+    f0 = next(iter(s0))
+    batch, _, _ = Preprocessor()(f0.image, f0.depth, f0.K, f0.T_gravity)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+
+    tiny = CLIPConfig(
+        patch=32, width=64, layers=2, heads=2, embed_dim=32,
+        vocab_size=64, context_length=8, text_width=64, text_layers=1,
+        text_heads=2,
+    )
+    tf = np.random.RandomState(0).randn(3, 32).astype(np.float32)
+    labeler = OpenVocabLabeler(
+        ["chair", "table", "sofa"], tf, cfg=tiny, sim_thres=-1e9, max_boxes=16
+    ).init_random(0)
+
+    seqs = [
+        SyntheticSequence(n_frames=6, n_boxes=2, seed=s, video_id=f"lab{s}")
+        for s in range(3)
+    ]
+    out = evaluate_sequences_batched(
+        cfg, seqs, detector=CuTRDetector(model, params), lanes=2,
+        output_dir=str(tmp_path), capacity=32, packed=True, labeler=labeler,
+    )
+    assert len(out["sequences"]) == 3
+    assert all(e["fps"] > 0 for e in out["sequences"])
+    for s in range(3):
+        assert (tmp_path / f"lab{s}_boxes.pkl").exists()
