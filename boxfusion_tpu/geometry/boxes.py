@@ -67,6 +67,36 @@ def box_corners(xyzlhw: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
     return world
 
 
+def corners_to_params(corners: jnp.ndarray):
+    """Inverse of ``box_corners``: recover (xyzlhw, R) from corners.
+
+    Assumes this module's vertex order (CORNER_SIGNS): v0->v1 spans local X
+    (length l), v0->v3 local Y (h), v0->v4 local Z (w).  Used to turn
+    world-corner GT files (data_process/gt_filter.py's
+    after_filter_boxes.npy layout, reference filter_gt_boxes.py:144-153)
+    back into trainable box parameters.
+
+    Args:
+      corners: (..., 8, 3).
+
+    Returns:
+      (xyzlhw (..., 6), R (..., 3, 3)) with R columns = local axes.
+    """
+    center = corners[..., :, :].mean(-2)
+    ex = corners[..., 1, :] - corners[..., 0, :]
+    ey = corners[..., 3, :] - corners[..., 0, :]
+    ez = corners[..., 4, :] - corners[..., 0, :]
+    dims = jnp.stack(
+        [jnp.linalg.norm(e, axis=-1) for e in (ex, ey, ez)], axis=-1
+    )
+    axes = jnp.stack(
+        [e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-9)
+         for e in (ex, ey, ez)],
+        axis=-1,
+    )  # (..., 3, 3) columns = x/y/z axes
+    return jnp.concatenate([center, dims], axis=-1), axes
+
+
 def boxes_to_world(xyzlhw: jnp.ndarray, R: jnp.ndarray, cam_pose: jnp.ndarray):
     """Transform camera-frame boxes into the world frame.
 

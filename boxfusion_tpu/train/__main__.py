@@ -6,13 +6,14 @@ gap the TPU way: one jitted train step sharded over a (dp, fsdp, tp)
 ``jax.sharding.Mesh`` (parallel/mesh.py), warmup+cosine LR via optax, and
 orbax parameter checkpoints.
 
-Data: the synthetic oracle-supervised workload — frames rendered by
-``SyntheticSequence`` with targets derived from its closed-form GT boxes
-through the same camera model the detector predicts in (camera-frame
-center/dims/pose + projected 2D boxes).  This is the framework's
-convergence harness and multi-chip scaling demo; a real CA-1M trainer only
-needs a reader that yields the same ``(FrameBatch, targets)`` pairs (the
-released CA-1M GT layout is consumed by data_process/gt_filter.py).
+Data: the synthetic oracle-supervised workload by default — frames
+rendered by ``SyntheticSequence`` with targets derived from its
+closed-form GT boxes through the same camera model the detector predicts
+in (camera-frame center/dims/pose + projected 2D boxes).  ``--data-root``
+switches to a REAL CA-1M-layout sequence dir: frames come from the CA-1M
+reader and targets from the sequence's world-corner GT
+(``after_filter_boxes.npy``, the data_process filter-gt output),
+transformed per keyframe into the model's prediction frame.
 
 Run (any device count; B must be divisible by the mesh's dp*fsdp):
 
@@ -57,6 +58,103 @@ def _frame_targets(seq, frame, G: int) -> dict:
         pose[:n] = det["R"][:n]
         mask[:n] = 1.0
     return dict(boxes2d=boxes2d, proj_xy=proj_xy, z=z, dims=dims, pose=pose, mask=mask)
+
+
+def _targets_from_world_corners(corners_world: np.ndarray, frame, G: int) -> dict:
+    """Supervision for one real posed frame from world-corner GT.
+
+    ``corners_world`` is the (K, 8, 3) layout of
+    ``after_filter_boxes.npy`` (data_process/gt_filter.py; reference
+    filter_gt_boxes.py:144-153).  Boxes are moved to the camera frame,
+    visibility-filtered with the oracle's thresholds (center z in
+    (0.3, 8.0) and projected center in-bounds), and converted to the
+    loss's target layout -- pose gravity-aligned exactly like the model's
+    own outputs (models/cutr/model.py, reference
+    cubify_transformer.py:991-992).
+    """
+    from boxfusion_tpu.geometry.boxes import corners_to_params
+
+    P = np.asarray(frame.gt_pose, np.float32)
+    Rp, t = P[:3, :3], P[:3, 3]
+    cam = (corners_world.astype(np.float32) - t) @ Rp  # R^T (c - t) per corner
+
+    xyzlhw, R_cam = (np.asarray(a) for a in corners_to_params(cam))
+    K = np.asarray(frame.K, np.float32)
+    h, w = frame.image.shape[:2]
+    z = xyzlhw[:, 2]
+    u = K[0, 0] * xyzlhw[:, 0] / np.maximum(z, 1e-6) + K[0, 2]
+    v = K[1, 1] * xyzlhw[:, 1] / np.maximum(z, 1e-6) + K[1, 2]
+    visible = (z > 0.3) & (z < 8.0) & (u > 0) & (u < w) & (v > 0) & (v < h)
+
+    cam_v = cam[visible]
+    xyzlhw, R_cam = xyzlhw[visible], R_cam[visible]
+    u, v, z = u[visible], v[visible], z[visible]
+    n = min(len(xyzlhw), G)
+
+    boxes2d = np.zeros((G, 4), np.float32)
+    proj_xy = np.zeros((G, 2), np.float32)
+    z_t = np.full((G, 1), 1.0, np.float32)
+    dims = np.full((G, 3), 0.1, np.float32)
+    pose = np.tile(np.eye(3, dtype=np.float32)[None], (G, 1, 1))
+    mask = np.zeros((G,), np.float32)
+    if n:
+        cz = np.maximum(cam_v[:n, :, 2], 1e-6)
+        cu = np.clip(K[0, 0] * cam_v[:n, :, 0] / cz + K[0, 2], 0, w)
+        cv = np.clip(K[1, 1] * cam_v[:n, :, 1] / cz + K[1, 2], 0, h)
+        x0, x1 = cu.min(-1), cu.max(-1)
+        y0, y1 = cv.min(-1), cv.max(-1)
+        boxes2d[:n] = np.stack(
+            [(x0 + x1) * 0.5, (y0 + y1) * 0.5, x1 - x0, y1 - y0], -1
+        )
+        proj_xy[:n] = np.stack([u[:n], v[:n]], -1)
+        z_t[:n, 0] = z[:n]
+        dims[:n] = xyzlhw[:n, 3:]
+        Tg = np.asarray(frame.T_gravity, np.float32)
+        pose[:n] = np.einsum("ij,gjk->gik", Tg, R_cam[:n])
+        mask[:n] = 1.0
+    return dict(boxes2d=boxes2d, proj_xy=proj_xy, z=z_t, dims=dims,
+                pose=pose, mask=mask)
+
+
+def _build_dataset_ca1m(args):
+    """Real-data epoch: a CA-1M-layout sequence dir + world-corner GT.
+
+    Mirrors ``_build_dataset``'s return contract; frames share the
+    sequence's single resolution bucket so stacking is shape-safe.
+    """
+    import os
+
+    import jax
+
+    from boxfusion_tpu.data import get_dataset
+    from boxfusion_tpu.data.preprocess import Preprocessor
+    from boxfusion_tpu.utils.config import load_config
+
+    cfg = load_config(args.train_config)
+    cfg["data"]["datadir"] = args.data_root
+    gt_path = os.path.join(args.data_root, args.gt_file)
+    corners = np.load(gt_path)
+    if corners.ndim != 3 or corners.shape[1:] != (8, 3):
+        raise SystemExit(
+            f"{gt_path}: expected (K, 8, 3) world corners "
+            f"(after_filter_boxes.npy layout), got {corners.shape}"
+        )
+    gap = args.gap if args.gap else int(cfg["data"]["gap"])
+
+    prep = Preprocessor()
+    frames, targets = [], []
+    for i, frame in enumerate(get_dataset(cfg)):
+        if i % gap:
+            continue
+        depth = frame.depth
+        if args.depth_ratio > 1 and depth is not None:
+            depth = depth[:: args.depth_ratio, :: args.depth_ratio]
+        fb, _, _ = prep(frame.image, depth, frame.K, frame.T_gravity)
+        frames.append(jax.tree.map(np.asarray, fb))
+        targets.append(_targets_from_world_corners(corners, frame, args.n_boxes))
+    if not frames:
+        raise SystemExit(f"no keyframes read from {args.data_root} (gap {gap})")
+    return frames, targets
 
 
 def _build_dataset(args):
@@ -104,11 +202,23 @@ def main(argv=None) -> None:
     ap.add_argument("--warmup", type=int, default=20)
     ap.add_argument("--weight-decay", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--data-root", type=str, default=None,
+                    help="train on a real CA-1M-layout sequence dir (with "
+                         "world-corner GT, see --gt-file) instead of the "
+                         "synthetic oracle workload")
+    ap.add_argument("--train-config", type=str, default="config/ca1m.yaml",
+                    help="dataset config for --data-root mode")
+    ap.add_argument("--gt-file", type=str, default="after_filter_boxes.npy",
+                    help="GT world corners (K, 8, 3) inside --data-root "
+                         "(data_process filter-gt output)")
+    ap.add_argument("--gap", type=int, default=0,
+                    help="keyframe stride for --data-root mode (0 = config)")
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--ckpt-dir", type=str, default=None)
     ap.add_argument("--ckpt-every", type=int, default=100)
     ap.add_argument("--resume", type=str, default=None,
-                    help="orbax params checkpoint to warm-start from")
+                    help="params to warm-start from: an orbax checkpoint "
+                         "dir, or the reference's cutr_rgbd.pth (fine-tune)")
     ap.add_argument("--platform", type=str, default=None,
                     help="jax platform override, e.g. cpu (with "
                          "XLA_FLAGS=--xla_force_host_platform_device_count=N "
@@ -141,7 +251,10 @@ def main(argv=None) -> None:
         )
 
     print(f"mesh {dict(mesh.shape)} | batch {args.batch} | dim {args.dim}")
-    frames, targets = _build_dataset(args)
+    if args.data_root:
+        frames, targets = _build_dataset_ca1m(args)
+    else:
+        frames, targets = _build_dataset(args)
     n_frames = len(frames)
     print(f"dataset: {n_frames} frames, {args.n_boxes} GT slots/frame")
 
@@ -174,7 +287,18 @@ def main(argv=None) -> None:
 
     params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), ex_batch)
     if args.resume:
-        params = restore_params(args.resume, template=params)
+        if args.resume.endswith((".pth", ".pt")):
+            # fine-tune from the reference's torch checkpoint (demo.py:441)
+            from boxfusion_tpu.models.cutr.convert import load_checkpoint
+
+            params, ckpt_dim = load_checkpoint(args.resume)
+            if ckpt_dim != args.dim:
+                raise SystemExit(
+                    f"--resume checkpoint is dim {ckpt_dim} but --dim is "
+                    f"{args.dim}; pass --dim {ckpt_dim}"
+                )
+        else:
+            params = restore_params(args.resume, template=params)
         print(f"resumed params from {args.resume}")
     state = init_train_state(params, tx)
 
