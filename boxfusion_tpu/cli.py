@@ -110,6 +110,15 @@ def main(argv=None) -> int:
     if args.dataset_path.lower() == "synthetic":
         from boxfusion_tpu.data.synthetic import OracleDetector, SyntheticSequence
 
+        # the advertised dataset-free demo must not require the reference's
+        # PST asset: fall back to the synthesized table when it is absent
+        # (real datasets keep the hard error -- a typo'd path should not
+        # silently change the optimizer's search distribution)
+        pst = cfg["box_fusion"]["pst_path"]
+        if pst and not os.path.exists(str(pst)):
+            print(f"[cli] PST file {pst} absent; synthesizing the particle table")
+            cfg["box_fusion"]._data["pst_path"] = None
+
         dataset = SyntheticSequence(n_frames=60, n_boxes=6)
         detector = OracleDetector(dataset, noise=0.02)
     else:

@@ -75,15 +75,21 @@ def main(argv=None) -> int:
 
         seq = args.seq_dir
         gt_npy = os.path.join(seq, "gt_boxes.npy")
+        labels = None
         if os.path.exists(gt_npy):
             corners = np.load(gt_npy)
         else:
             import json
 
             with open(os.path.join(seq, "instances.json")) as f:
-                corners = np.asarray(
-                    [ins["corners"] for ins in json.load(f)], np.float32
-                )
+                instances = json.load(f)
+            corners = np.asarray(
+                [ins["corners"] for ins in instances], np.float32
+            )
+            # CA-1M GT instances carry a category label; keep it in lockstep
+            # with the corners when present (enables per-class eval AP)
+            if instances and all("category" in ins for ins in instances):
+                labels = np.asarray([str(ins["category"]) for ins in instances])
         K = np.loadtxt(os.path.join(seq, "K_depth.txt")).reshape(3, 3)
         all_poses = os.path.join(seq, "all_poses.npy")
         if os.path.exists(all_poses):
@@ -107,9 +113,12 @@ def main(argv=None) -> int:
         out = args.out or os.path.join(seq, "after_filter_boxes.npy")
         kept = filter_gt_boxes(
             corners, K, poses, image_hw, gt_points=pts,
-            dist_threshold=args.dist_threshold, save_path=out,
+            dist_threshold=args.dist_threshold, save_path=out, labels=labels,
         )
-        print(f"{len(kept)}/{len(corners)} GT boxes kept -> {out}")
+        if labels is not None:
+            kept = kept[0]
+        print(f"{len(kept)}/{len(corners)} GT boxes kept -> {out}"
+              + (" (+labels)" if labels is not None else ""))
     return 0
 
 

@@ -124,21 +124,40 @@ def filter_gt_boxes(
     far: float = 100.0,
     dist_threshold: float = 0.1,
     save_path: Optional[str] = None,
-) -> np.ndarray:
+    labels: Optional[np.ndarray] = None,
+):
     """Full GT filter: frustum culling then mesh proximity.
 
     Args:
       corners: (N, 8, 3) world GT corners.
       poses: (M, 4, 4) camera-to-world.
       gt_points: optional (P, 3) mesh/point cloud; skip proximity if None.
+      labels: optional (N,) per-box class labels, filtered in lockstep
+        (beyond the reference, whose filter keeps only corners: enables
+        per-class AP against the open-vocab labels the pipeline assigns).
 
     Returns:
-      (K, 8, 3) surviving corners (optionally saved as
-      after_filter_boxes.npy).
+      (K, 8, 3) surviving corners, or ``(corners, labels)`` when labels are
+      given.  ``save_path`` writes the corners (after_filter_boxes.npy) and,
+      with labels, a sibling after_filter_labels.npy.
     """
-    visible = corners[frustum_culling_mask(corners, K, poses, image_hw, near, far)]
+    keep = frustum_culling_mask(corners, K, poses, image_hw, near, far)
+    visible = corners[keep]
+    kept_labels = np.asarray(labels)[keep] if labels is not None else None
     if gt_points is not None and len(visible):
-        visible = visible[proximity_mask(visible, gt_points, dist_threshold)]
+        prox = proximity_mask(visible, gt_points, dist_threshold)
+        visible = visible[prox]
+        if kept_labels is not None:
+            kept_labels = kept_labels[prox]
     if save_path:
         np.save(save_path, visible)
+        if kept_labels is not None:
+            np.save(
+                os.path.join(
+                    os.path.dirname(save_path) or ".", "after_filter_labels.npy"
+                ),
+                kept_labels,
+            )
+    if labels is not None:
+        return visible, kept_labels
     return visible

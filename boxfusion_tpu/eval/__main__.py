@@ -94,6 +94,13 @@ def main(argv=None) -> int:
         help="with --lanes: packed byte transport, ONE (N, L) upload + ONE "
         "dispatch per keyframe round (fastest on remote-attached chips)",
     )
+    p.add_argument(
+        "--gt", action="store_true",
+        help="score 3D AP@0.25/0.5 against each sequence's "
+        "after_filter_boxes.npy (the GT-filter output, reference "
+        "data_process/filter_gt_boxes.py:144-152) -- the real-data "
+        "equivalent of --synthetic's closed-form AP",
+    )
     p.add_argument("--clip-path", default=None,
                    help="CLIP weights: enables open-vocab labeling in-eval")
     p.add_argument("--class_txt", default="./data/panoptic_categories_nomerge.txt")
@@ -170,6 +177,49 @@ def main(argv=None) -> int:
         p.error("labeling with --lanes requires --packed (the label stage is "
                 "traced into the packed program)")
 
+    # real-data GT: (K, 8, 3) world corners from the offline GT filter
+    # (same file layout the reference's filter_gt_boxes.py writes)
+    gt_provider = None
+    if args.gt:
+        missing = [
+            s for s in seq_ids
+            if not os.path.exists(
+                os.path.join(args.data_root, str(s), "after_filter_boxes.npy")
+            )
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"--gt: after_filter_boxes.npy missing for {len(missing)} "
+                f"sequence(s) (first: {missing[0]}); produce it with "
+                "python -m boxfusion_tpu.data_process gt-filter"
+            )
+
+        def gt_provider(seq):
+            base = seq.cfg["data"]["datadir"]
+            path = os.path.join(base, "after_filter_boxes.npy")
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"--gt: {path} not found; produce it with "
+                    "python -m boxfusion_tpu.data_process gt-filter"
+                )
+            corners = np.load(path).astype(np.float32)
+            if corners.ndim != 3 or corners.shape[1:] != (8, 3):
+                raise ValueError(
+                    f"--gt: {path} has shape {corners.shape}, expected (K, 8, 3)"
+                )
+            # class labels (written by gt-filter when instances.json carries
+            # categories) enable per-class mAP against the open-vocab labels
+            lbl_path = os.path.join(base, "after_filter_labels.npy")
+            if os.path.exists(lbl_path):
+                labels = np.load(lbl_path, allow_pickle=False)
+                if len(labels) != len(corners):
+                    raise ValueError(
+                        f"--gt: {lbl_path} has {len(labels)} labels for "
+                        f"{len(corners)} boxes"
+                    )
+                return dict(corners=corners, classes=labels)
+            return corners
+
     det_args = SimpleNamespace(
         model_path=args.model_path, dimension=args.dimension
     )
@@ -202,6 +252,7 @@ def main(argv=None) -> int:
             packed=args.packed,
             depth_scale=float(cfg["cam"]["png_depth_scale"]),
             labeler=labeler,
+            gt_provider=gt_provider,
         )
     else:
         out = evaluate_sequences(
@@ -213,11 +264,26 @@ def main(argv=None) -> int:
             fused=args.fused,
             depth_scale=float(cfg["cam"]["png_depth_scale"]),
             labeler=labeler,
+            gt_provider=gt_provider,
         )
     print(
         f"[eval] {len(out['sequences'])} sequences in {out['wall_s']:.1f}s, "
         f"mean FPS {out['mean_fps']:.2f}"
     )
+    if "ap_0.25" in out:
+        print(
+            f"[eval] 3D AP@0.25 = {out['ap_0.25']['ap']:.4f}  "
+            f"AP@0.50 = {out['ap_0.50']['ap']:.4f}  "
+            f"(n_pred {out['ap_0.25']['n_pred']}, n_gt {out['ap_0.25']['n_gt']})"
+        )
+    if "map_0.25" in out:
+        n_cls = sum(
+            1 for m in out["map_0.25"]["per_class"].values() if m["n_gt"] > 0
+        )
+        print(
+            f"[eval] per-class mAP@0.25 = {out['map_0.25']['map']:.4f} "
+            f"over {n_cls} classes with GT"
+        )
     return 0
 
 

@@ -65,15 +65,26 @@ def _finalize_world(
         pred_corners=corners,
         pred_scores=np.asarray(world["scores"]),
     )
+    if "categories" in world:  # open-vocab labels (export_world class_list)
+        entry["pred_classes"] = np.asarray(world["categories"])
     if gt_provider is not None:
-        entry["gt_corners"] = np.asarray(gt_provider(seq))
+        gt = gt_provider(seq)
+        if isinstance(gt, dict):
+            entry["gt_corners"] = np.asarray(gt["corners"])
+            if gt.get("classes") is not None:
+                entry["gt_classes"] = np.asarray(gt["classes"])
+        else:
+            entry["gt_corners"] = np.asarray(gt)
     if output_dir:
         save_eval_pickle(corners, output_dir, video_id, cfg["dataset"])
     return entry
 
 
 def _summarize(results, wall_s: float, gt_provider) -> Dict:
-    from boxfusion_tpu.eval.ap3d import average_precision_3d
+    from boxfusion_tpu.eval.ap3d import (
+        average_precision_3d,
+        average_precision_3d_per_class,
+    )
 
     out = dict(
         sequences=results,
@@ -83,6 +94,14 @@ def _summarize(results, wall_s: float, gt_provider) -> Dict:
     if gt_provider is not None and results:
         out["ap_0.25"] = average_precision_3d(results, iou_thresh=0.25)
         out["ap_0.50"] = average_precision_3d(results, iou_thresh=0.50)
+        # per-class mAP when both sides carry labels: GT classes from the
+        # gt_provider, predicted classes from the open-vocab labeler
+        if all(
+            "gt_classes" in r and "pred_classes" in r for r in results
+        ):
+            out["map_0.25"] = average_precision_3d_per_class(
+                results, iou_thresh=0.25
+            )
     return out
 
 
@@ -164,16 +183,17 @@ def evaluate_sequences(
         # holding reader/prefetcher resources; don't keep hundreds alive)
         stashed.append(
             (video_id, pipe.state, pipe.fps,
-             seq if gt_provider is not None else None)
+             seq if gt_provider is not None else None,
+             pipe.class_list)
         )
 
     # --- phase 2: export + pickle + score everything -----------------------
     results = []
     wall_s = time.time() - t0  # streaming time; exports excluded by design
-    for video_id, state, fps, seq in stashed:
+    for video_id, state, fps, seq, class_list in stashed:
         results.append(_finalize_world(
-            export_world(state), video_id, fps, seq, cfg,
-            gt_provider, output_dir,
+            export_world(state, class_list=class_list), video_id, fps, seq,
+            cfg, gt_provider, output_dir,
         ))
     return _summarize(results, wall_s, gt_provider)
 
@@ -258,7 +278,10 @@ def evaluate_sequences_batched(
     results = []
     for states, entries in stashed:
         for j, (video_id, fps, seq) in enumerate(entries):
-            world = export_world(jax.tree.map(lambda x, j=j: x[j], states))
+            world = export_world(
+                jax.tree.map(lambda x, j=j: x[j], states),
+                class_list=pipe.class_list if pipe is not None else None,
+            )
             results.append(_finalize_world(
                 world, video_id, fps, seq, cfg, gt_provider, output_dir,
             ))

@@ -246,8 +246,9 @@ class FusedDevicePipeline(DevicePipeline):
         self._text_features_dev = None
         self._params_dev = None
         self._clip_params_dev = None
-        if labeler is not None:
-            self.class_list = list(labeler.class_list) + [""]
+        self.class_list = (
+            list(labeler.class_list) + [""] if labeler is not None else None
+        )
 
     def _get_fused(self, key):
         # model in the key: pipe.detector may be swapped (eval fan-out), and

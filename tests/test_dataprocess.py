@@ -258,3 +258,52 @@ def test_checkpoint_restores_legacy_stats_width(tmp_path):
     r1 = restore_pipeline_state(str(p1))
     assert r1.stats.shape == (STATS_WIDTH,)
     assert r1.stats[:4].tolist() == [1, 2, 3, 4] and int(r1.stats[4]) == 0
+
+
+def test_gt_filter_labels_lockstep(tmp_path):
+    """filter_gt_boxes filters labels in lockstep with corners and writes
+    after_filter_labels.npy next to after_filter_boxes.npy."""
+    from boxfusion_tpu.data_process.gt_filter import filter_gt_boxes
+
+    # camera at origin looking +z; one box in view, one behind the camera
+    corners = np.stack([
+        np.array([[x, y, z] for x in (-.2, .2) for y in (-.2, .2) for z in (1.8, 2.2)], np.float32),
+        np.array([[x, y, z] for x in (-.2, .2) for y in (-.2, .2) for z in (-2.2, -1.8)], np.float32),
+    ])
+    K = np.array([[50.0, 0, 32], [0, 50.0, 24], [0, 0, 1]])
+    poses = np.eye(4)[None]
+    out = tmp_path / "after_filter_boxes.npy"
+    kept, labels = filter_gt_boxes(
+        corners, K, poses, (48, 64), save_path=str(out),
+        labels=np.array(["chair", "table"]),
+    )
+    assert kept.shape == (1, 8, 3) and list(labels) == ["chair"]
+    assert np.load(out).shape == (1, 8, 3)
+    lbl = np.load(tmp_path / "after_filter_labels.npy")
+    assert list(lbl) == ["chair"]
+
+
+def test_gt_filter_cli_saves_labels_from_instances(tmp_path):
+    """filter-gt subcommand picks categories out of instances.json."""
+    import json
+
+    from boxfusion_tpu.data_process.__main__ import main as prep_main
+
+    seq = tmp_path / "42898867"
+    (seq / "depth").mkdir(parents=True)
+    from PIL import Image
+
+    Image.fromarray(np.zeros((48, 64), np.uint16)).save(seq / "depth" / "0.png")
+    box = [[x, y, z] for x in (-.2, .2) for y in (-.2, .2) for z in (1.8, 2.2)]
+    far = [[x, y, -z] for x, y, z in box]
+    (seq / "instances.json").write_text(json.dumps([
+        {"corners": box, "category": "chair"},
+        {"corners": far, "category": "table"},
+    ]))
+    np.savetxt(seq / "K_depth.txt", np.array([[50.0, 0, 32], [0, 50.0, 24], [0, 0, 1]]))
+    np.save(seq / "all_poses.npy", np.eye(4)[None])
+
+    rc = prep_main(["filter-gt", str(seq)])
+    assert rc == 0
+    assert np.load(seq / "after_filter_boxes.npy").shape == (1, 8, 3)
+    assert list(np.load(seq / "after_filter_labels.npy")) == ["chair"]

@@ -259,3 +259,102 @@ def test_evaluate_sequences_batched_packed_with_labeler(tmp_path):
     assert all(e["fps"] > 0 for e in out["sequences"])
     for s in range(3):
         assert (tmp_path / f"lab{s}_boxes.pkl").exists()
+
+
+def test_eval_cli_real_gt_ap(tmp_path, capsys):
+    """--gt on real-format data: raw capture -> SLAM dir with
+    after_filter_boxes.npy -> eval CLI computes + prints 3D AP."""
+    import yaml
+
+    from tests.test_dataprocess import _write_capture
+
+    from boxfusion_tpu.data_process import convert_capture_to_slam
+    from boxfusion_tpu.eval.__main__ import main as eval_main
+
+    cap = _write_capture(tmp_path, n_frames=11)
+    slam = tmp_path / "slam" / "42898867"
+    convert_capture_to_slam(str(cap), str(slam))
+    # GT: two world boxes in front of the camera (corners as the GT filter
+    # writes them, data_process/gt_filter.py::filter_gt_boxes)
+    gt = np.stack([
+        _corners([[0.0, 0.0, 1.5, 0.4, 0.4, 0.4]])[0],
+        _corners([[0.5, 0.2, 2.0, 0.3, 0.3, 0.3]])[0],
+    ])
+    np.save(slam / "after_filter_boxes.npy", gt)
+
+    with open("config/ca1m.yaml") as f:
+        raw = yaml.safe_load(f)
+    raw["data"]["gap"] = 5
+    raw["detection"]["score_thresh"] = 0.3
+    raw["detection"]["max_detections"] = 16
+    raw["box_fusion"]["pst_path"] = None
+    raw["box_fusion"]["pst_size"] = 128
+    raw["box_fusion"]["iters"] = 4
+    raw["box_fusion"]["max_fusions_per_frame"] = 4
+    raw["cam"]["H"] = 64  # CA-1M convention: cam.H = width (landscape 48x64)
+    raw["cam"]["W"] = 48
+    raw["vis"]["rerun"] = False
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(raw))
+
+    rc = eval_main([
+        "--config", str(cfg_path), "--data-root", str(tmp_path / "slam"),
+        "--dimension", "192", "--gt", "--capacity", "32",
+        "--output-dir", str(tmp_path / "out"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "3D AP@0.25" in out
+    assert (tmp_path / "out" / "42898867_boxes.pkl").exists()
+
+
+def test_eval_cli_real_gt_missing_file_errors(tmp_path):
+    """--gt with no after_filter_boxes.npy fails with a pointed error."""
+    import pytest
+    import yaml
+
+    from tests.test_dataprocess import _write_capture
+
+    from boxfusion_tpu.data_process import convert_capture_to_slam
+    from boxfusion_tpu.eval.__main__ import main as eval_main
+
+    cap = _write_capture(tmp_path, n_frames=6)
+    slam = tmp_path / "slam" / "42898867"
+    convert_capture_to_slam(str(cap), str(slam))
+
+    with open("config/ca1m.yaml") as f:
+        raw = yaml.safe_load(f)
+    raw["box_fusion"]["pst_path"] = None
+    raw["box_fusion"]["pst_size"] = 128
+    raw["cam"]["H"] = 64
+    raw["cam"]["W"] = 48
+    raw["vis"]["rerun"] = False
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(raw))
+
+    with pytest.raises(FileNotFoundError, match="gt-filter"):
+        eval_main([
+            "--config", str(cfg_path), "--data-root", str(tmp_path / "slam"),
+            "--dimension", "192", "--gt", "--capacity", "32",
+        ])
+
+
+def test_summarize_adds_per_class_map_when_labeled():
+    """_summarize computes per-class mAP when every entry carries classes."""
+    from boxfusion_tpu.eval.runner import _summarize
+
+    gt = _corners([[0, 0, 0, 1, 1, 1], [3, 0, 0, 1, 1, 1]])
+    entry = dict(
+        video_id="a", fps=1.0,
+        pred_corners=gt, pred_scores=np.array([0.9, 0.8]),
+        pred_classes=np.array(["chair", "table"]),
+        gt_corners=gt, gt_classes=np.array(["chair", "table"]),
+    )
+    out = _summarize([entry], 1.0, gt_provider=lambda s: None)
+    assert out["ap_0.25"]["ap"] > 0.99
+    assert out["map_0.25"]["map"] > 0.99
+
+    # one entry without classes -> class-agnostic only
+    bare = {k: v for k, v in entry.items() if "classes" not in k}
+    out2 = _summarize([bare], 1.0, gt_provider=lambda s: None)
+    assert "map_0.25" not in out2 and "ap_0.25" in out2
