@@ -308,8 +308,10 @@ def _build_cutr_detector(args, cfg, device_output: bool = False, export_image: b
     if args.model_path and os.path.exists(args.model_path):
         from boxfusion_tpu.models.cutr.convert import load_checkpoint
 
-        params, dimension = load_checkpoint(args.model_path)
-        model = make_cutr(dimension=dimension, depth_model=True, dtype=dtype)
+        params, dimension, depth_model = load_checkpoint(args.model_path)
+        if not depth_model:
+            print("[cli] RGB-only CuTR checkpoint detected (no depth patch embed)")
+        model = make_cutr(dimension=dimension, depth_model=depth_model, dtype=dtype)
     else:
         print("[cli] no checkpoint given: using random-initialized CuTR")
         import jax.numpy as jnp

@@ -39,14 +39,14 @@ def _mlp(sd, p, n=3):
     return {f"layers_{i}": _lin(sd, f"{p}.layers.{i}") for i in range(n)}
 
 
-def convert_cutr_checkpoint(sd: Dict, num_layers: int = 6, vit_depth: int = 12) -> Tuple[Dict, int]:
+def convert_cutr_checkpoint(sd: Dict, num_layers: int = 6, vit_depth: int = 12) -> Tuple[Dict, int, bool]:
     """Convert a reference CuTR state dict to flax params.
 
     Args:
       sd: the torch state dict (``checkpoint["model"]``).
 
     Returns:
-      ({"params": tree}, vit_width).
+      ({"params": tree}, vit_width, depth_model).
     """
     dim = int(sd["backbone.0.patch_embed.proj.weight"].shape[0])
     depth_model = "backbone.0.patch_embed_depth.proj.weight" in sd
@@ -138,11 +138,17 @@ def convert_cutr_checkpoint(sd: Dict, num_layers: int = 6, vit_depth: int = 12) 
         params[f"box2d_predictor_{i}"] = {"mlp": _mlp(sd, p + ".2.mlp")}
         params[f"box3d_predictor_{i}"] = {"mlp": _mlp(sd, p + ".3.mlp")}
 
-    return {"params": params}, dim
+    return {"params": params}, dim, depth_model
 
 
 def load_checkpoint(path: str):
-    """torch .pth -> (flax params, vit width) (demo.py:441-446 parity)."""
+    """torch .pth -> (flax params, vit width, depth_model).
+
+    Width is sniffed from the patch-embed weight exactly like the
+    reference (demo.py:441-446); depth_model from the presence of the
+    depth patch embed, so RGB-only CuTR checkpoints load too (the
+    reference hardcodes is_depth_model=True, demo.py:444, but its model
+    builder supports both, cubify_transformer.py:1232)."""
     import os
 
     import torch

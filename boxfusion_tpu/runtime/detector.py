@@ -97,6 +97,11 @@ class CuTRDetector:
 
     def __call__(self, frame: Frame) -> Dict[str, np.ndarray]:
         image, depth = frame.image, frame.depth
+        if not self.model.cfg.depth_model:
+            # RGB-only CuTR: the stream's depth (if any) is not an input;
+            # the model predicts its own depth whitening (reference
+            # cubify_transformer.py:592-643 via predicted scale tokens)
+            depth = None
         square, ratio = resolve_pad_and_ratio(image, depth, self.buckets)
 
         # one transfer batch + one dispatch

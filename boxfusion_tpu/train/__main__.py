@@ -291,7 +291,12 @@ def main(argv=None) -> None:
             # fine-tune from the reference's torch checkpoint (demo.py:441)
             from boxfusion_tpu.models.cutr.convert import load_checkpoint
 
-            params, ckpt_dim = load_checkpoint(args.resume)
+            params, ckpt_dim, ckpt_depth = load_checkpoint(args.resume)
+            if not ckpt_depth:
+                raise SystemExit(
+                    "--resume checkpoint is an RGB-only CuTR; the training "
+                    "loop currently targets the RGB-D model"
+                )
             if ckpt_dim != args.dim:
                 raise SystemExit(
                     f"--resume checkpoint is dim {ckpt_dim} but --dim is "

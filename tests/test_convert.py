@@ -27,8 +27,8 @@ def test_cutr_converter_roundtrip():
     # width sniffing like demo.py:441-446
     assert sd["backbone.0.patch_embed.proj.weight"].shape[0] == 192
 
-    restored, dim = convert_cutr_checkpoint(sd)
-    assert dim == 192
+    restored, dim, depth_model = convert_cutr_checkpoint(sd)
+    assert dim == 192 and depth_model
 
     flat_a = jax.tree_util.tree_leaves_with_path(params)
     flat_b = dict(jax.tree_util.tree_leaves_with_path(restored))
@@ -59,5 +59,39 @@ def test_converter_rgb_only_variant():
     sd = flax_to_torch_template(params)
     assert "backbone.0.blocks.0.ls1.gamma" in sd  # layer-scale variant
     assert "backbone.0.encoder_norm.weight" in sd
-    restored, dim = convert_cutr_checkpoint(sd)
+    restored, dim, depth_model = convert_cutr_checkpoint(sd)
+    assert not depth_model
     assert len(jax.tree.leaves(restored)) == len(jax.tree.leaves(params))
+
+
+def test_rgb_only_checkpoint_roundtrip_and_detector(tmp_path):
+    """A saved RGB-only CuTR .pth loads with depth_model sniffed False and
+    the detector drops the stream's depth before packaging."""
+    import torch
+
+    from boxfusion_tpu.data.synthetic import SyntheticSequence
+    from boxfusion_tpu.models.cutr.convert import load_checkpoint
+    from boxfusion_tpu.runtime.detector import CuTRDetector
+
+    model = make_cutr(dimension=192, depth_model=False)
+    batch = FrameBatch(
+        image=jnp.zeros((1, 256, 256, 3)),
+        depth=None,
+        K=jnp.tile(jnp.eye(3)[None] * 100, (1, 1, 1)),
+        image_hw=jnp.array([[200.0, 240.0]]),
+        depth_params=jnp.ones((1, 2)),
+        T_gravity=jnp.tile(jnp.eye(3)[None], (1, 1, 1)),
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), batch)
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in flax_to_torch_template(params).items()}
+    pth = tmp_path / "cutr_rgb.pth"
+    torch.save({"model": sd}, pth)
+
+    params2, dim, depth_model = load_checkpoint(str(pth))
+    assert dim == 192 and not depth_model
+
+    det = CuTRDetector(make_cutr(dimension=192, depth_model=False), params2)
+    frame = next(iter(SyntheticSequence(n_frames=1, n_boxes=3, seed=0)))
+    assert frame.depth is not None  # stream has depth; model must ignore it
+    out = det(frame)
+    assert out["boxes3d"].shape[-1] == 6 and out["scores"].ndim == 1

@@ -173,8 +173,8 @@ def test_real_cutr_checkpoint_converts_and_runs():
     from boxfusion_tpu.models.cutr.convert import load_checkpoint
     from boxfusion_tpu.runtime.detector import CuTRDetector
 
-    params, dim = load_checkpoint(CUTR_CKPT)
-    model = make_cutr(dimension=dim, depth_model=True)
+    params, dim, depth_model = load_checkpoint(CUTR_CKPT)
+    model = make_cutr(dimension=dim, depth_model=depth_model)
     det = CuTRDetector(model, jax.device_put(params))
     frame = next(iter(SyntheticSequence(n_frames=1, n_boxes=3, seed=0)))
     out = det(frame)

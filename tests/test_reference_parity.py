@@ -191,8 +191,8 @@ def test_activation_parity_end_to_end(parity_setup):
 
     s = parity_setup
     sd = {k: v for k, v in s["ref_model"].state_dict().items()}
-    params, dim = convert_cutr_checkpoint(sd)
-    assert dim == 192
+    params, dim, depth_model = convert_cutr_checkpoint(sd)
+    assert dim == 192 and depth_model
 
     model = make_cutr(dimension=192, depth_model=True)
     batch, square, ratio = Preprocessor()(s["image"], s["depth"], s["K"], s["T_gravity"])
@@ -283,7 +283,7 @@ def test_activation_parity_ratio2_depth_window():
     from boxfusion_tpu.models.cutr import make_cutr
     from boxfusion_tpu.models.cutr.convert import convert_cutr_checkpoint
 
-    params, _ = convert_cutr_checkpoint(ref_model.state_dict())
+    params, _, _ = convert_cutr_checkpoint(ref_model.state_dict())
     model = make_cutr(dimension=192, depth_model=True)
     batch, square, ratio = Preprocessor()(image, depth, K, np.eye(3, dtype=np.float32))
     assert (square, ratio) == (256, 2)
