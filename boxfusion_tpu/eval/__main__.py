@@ -105,6 +105,10 @@ def main(argv=None) -> int:
                    help="CLIP weights: enables open-vocab labeling in-eval")
     p.add_argument("--class_txt", default="./data/panoptic_categories_nomerge.txt")
     p.add_argument("--class_features", default="./data/class_features.pt")
+    p.add_argument(
+        "--video-ids", nargs="+", default=None,
+        help="subset of sequence ids to run (reference demo.py:403)",
+    )
     args = p.parse_args(argv)
 
     from boxfusion_tpu.data import get_dataset
@@ -138,6 +142,16 @@ def main(argv=None) -> int:
             d for d in os.listdir(args.data_root)
             if os.path.isdir(os.path.join(args.data_root, d))
         )
+    if args.video_ids:
+        wanted = set(map(str, args.video_ids))
+        seq_ids = [s for s in seq_ids if str(s) in wanted]
+        missing = wanted - set(map(str, seq_ids))
+        if missing:
+            print(
+                f"[eval] --video-ids not found under --data-root: "
+                f"{sorted(missing)}", file=sys.stderr,
+            )
+            return 1
     if not seq_ids:
         print("[eval] no sequences found", file=sys.stderr)
         return 1

@@ -141,23 +141,50 @@ def convert_cutr_checkpoint(sd: Dict, num_layers: int = 6, vit_depth: int = 12) 
     return {"params": params}, dim, depth_model
 
 
+def _sniff_flax(tree: Dict, path: str):
+    """(params, width, depth_model) from an already-flax parameter tree."""
+    p = tree["params"] if "params" in tree else tree
+    try:
+        vit = p["vit"]
+        dim = int(np.shape(vit["patch_embed"]["proj"]["kernel"])[-1])
+    except (KeyError, IndexError) as e:
+        raise ValueError(
+            f"{path} does not look like a converted CuTR parameter tree "
+            f"(missing vit/patch_embed/proj/kernel): {e}"
+        )
+    return {"params": p}, dim, "patch_embed_depth" in vit
+
+
 def load_checkpoint(path: str):
-    """torch .pth -> (flax params, vit width, depth_model).
+    """checkpoint file -> (flax params, vit width, depth_model).
 
-    Width is sniffed from the patch-embed weight exactly like the
-    reference (demo.py:441-446); depth_model from the presence of the
-    depth patch embed, so RGB-only CuTR checkpoints load too (the
-    reference hardcodes is_depth_model=True, demo.py:444, but its model
-    builder supports both, cubify_transformer.py:1232)."""
+    Accepts the reference's torch ``.pth/.pt`` state dict (width sniffed
+    from the patch-embed weight exactly like demo.py:441-446; depth_model
+    from the presence of the depth patch embed, so RGB-only CuTR
+    checkpoints load too -- the reference hardcodes is_depth_model=True,
+    demo.py:444, but its builder supports both, cubify_transformer.py:1232),
+    a pre-converted flax ``.msgpack`` (written by this module's CLI), or an
+    orbax checkpoint directory (written by utils/checkpoint.save_params)."""
     import os
-
-    import torch
 
     if not os.path.exists(path):
         raise FileNotFoundError(
             f"CuTR checkpoint not found: {path} (expected the reference's "
-            "cutr_rgbd.pth torch state dict; see README 'Checkpoints')"
+            "cutr_rgbd.pth torch state dict, a pre-converted .msgpack, or "
+            "an orbax directory; see README 'Checkpoints')"
         )
+    if os.path.isdir(path):  # orbax layout
+        from boxfusion_tpu.utils.checkpoint import restore_params
+
+        return _sniff_flax(restore_params(path), path)
+    if path.endswith(".msgpack"):
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            return _sniff_flax(serialization.msgpack_restore(f.read()), path)
+
+    import torch
+
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
     sd = ckpt["model"] if "model" in ckpt else ckpt
     key = "backbone.0.patch_embed.proj.weight"  # width sniff (demo.py:442)
@@ -264,3 +291,34 @@ def flax_to_torch_template(params: Dict) -> Dict[str, np.ndarray]:
         i += 1
 
     return sd
+
+
+def main(argv=None) -> int:
+    """Pre-conversion CLI: torch .pth -> flax .msgpack.
+
+    Usage: python -m boxfusion_tpu.models.cutr.convert cutr_rgbd.pth out.msgpack
+
+    The msgpack loads back through ``load_checkpoint`` (and the main CLI's
+    --model-path) without needing torch at inference time.
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(prog="cutr-convert", description=main.__doc__)
+    p.add_argument("src", help="reference torch checkpoint (.pth/.pt)")
+    p.add_argument("dst", help="output flax params (.msgpack)")
+    args = p.parse_args(argv)
+
+    from flax import serialization
+
+    params, dim, depth_model = load_checkpoint(args.src)
+    with open(args.dst, "wb") as f:
+        f.write(serialization.msgpack_serialize(params))
+    kind = "RGB-D" if depth_model else "RGB-only"
+    print(f"converted {args.src} -> {args.dst} (ViT width {dim}, {kind})")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -9,10 +9,14 @@ the TPU-native scaling layer the new framework adds on top of parity:
     tensor parallel (sharding the *output* dim of attention/MLP kernels).
     Collectives are inserted by XLA GSPMD from the NamedSharding
     annotations -- all traffic rides ICI.
-  * there is no pipeline or expert axis because the model family has
-    neither stages nor MoE experts (matching the reference's architecture);
-    the mesh helper accepts arbitrary axis sizes so pp/ep can be added when
-    a model needs them.
+  * there is no pipeline, expert, or sequence axis because the model
+    family needs none (matching the reference's architecture): no stages,
+    no MoE experts, and the token count is bounded by design -- windowed
+    attention over a <= 64x64 stride-16 map at the 1024px input cap
+    (SURVEY.md section 5 "long-context"), far below where sequence/context
+    parallelism pays for its collectives.  The mesh helper accepts
+    arbitrary axis names/sizes so pp/ep/sp can be added when a model
+    needs them.
 
 Offline sequence-level eval fan-out (SURVEY.md section 2: frames/sequences
 are embarrassingly parallel) uses plain dp over the same mesh.

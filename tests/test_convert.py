@@ -90,6 +90,20 @@ def test_rgb_only_checkpoint_roundtrip_and_detector(tmp_path):
     params2, dim, depth_model = load_checkpoint(str(pth))
     assert dim == 192 and not depth_model
 
+    # pre-conversion CLI: .pth -> .msgpack -> load_checkpoint roundtrip
+    from boxfusion_tpu.models.cutr.convert import main as convert_main
+
+    mp = tmp_path / "cutr_rgb.msgpack"
+    assert convert_main([str(pth), str(mp)]) == 0
+    params3, dim3, depth3 = load_checkpoint(str(mp))
+    assert dim3 == 192 and not depth3
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params2),
+        jax.tree_util.tree_leaves_with_path(params3),
+    ):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     det = CuTRDetector(make_cutr(dimension=192, depth_model=False), params2)
     frame = next(iter(SyntheticSequence(n_frames=1, n_boxes=3, seed=0)))
     assert frame.depth is not None  # stream has depth; model must ignore it

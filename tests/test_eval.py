@@ -358,3 +358,29 @@ def test_summarize_adds_per_class_map_when_labeled():
     bare = {k: v for k, v in entry.items() if "classes" not in k}
     out2 = _summarize([bare], 1.0, gt_provider=lambda s: None)
     assert "map_0.25" not in out2 and "ap_0.25" in out2
+
+
+def test_eval_cli_video_ids_subset_validation(tmp_path, capsys):
+    """--video-ids with an unknown id fails fast before any model builds."""
+    import yaml
+
+    from tests.test_dataprocess import _write_capture
+
+    from boxfusion_tpu.data_process import convert_capture_to_slam
+    from boxfusion_tpu.eval.__main__ import main as eval_main
+
+    cap = _write_capture(tmp_path, n_frames=3)
+    slam = tmp_path / "slam" / "42898867"
+    convert_capture_to_slam(str(cap), str(slam))
+    with open("config/ca1m.yaml") as f:
+        raw = yaml.safe_load(f)
+    raw["vis"]["rerun"] = False
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(raw))
+
+    rc = eval_main([
+        "--config", str(cfg_path), "--data-root", str(tmp_path / "slam"),
+        "--video-ids", "nope",
+    ])
+    assert rc == 1
+    assert "nope" in capsys.readouterr().err
