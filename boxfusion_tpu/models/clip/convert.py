@@ -47,6 +47,8 @@ _VISION_HEADS = {768: 12, 1024: 16, 1280: 16, 1408: 16, 1664: 16}
 def infer_config(sd: Dict, quick_gelu: bool | None = None) -> CLIPConfig:
     width = sd["visual.conv1.weight"].shape[0]
     patch = sd["visual.conv1.weight"].shape[-1]
+    # grid side from the positional-embedding token count (CLS + side**2)
+    grid = int(round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5))
     layers = max(
         int(k.split(".")[3]) for k in sd if k.startswith("visual.transformer.resblocks.")
     ) + 1
@@ -57,6 +59,9 @@ def infer_config(sd: Dict, quick_gelu: bool | None = None) -> CLIPConfig:
     embed_dim = sd["text_projection"].shape[1]
     return CLIPConfig(
         patch=int(patch),
+        image_size=int(grid * patch),
+        vocab_size=int(sd["token_embedding.weight"].shape[0]),
+        context_length=int(sd["positional_embedding"].shape[0]),
         width=int(width),
         layers=int(layers),
         heads=_VISION_HEADS.get(int(width), int(width) // 64),

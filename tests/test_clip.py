@@ -146,3 +146,114 @@ def test_clip_converter_roundtrip():
     out = jax.jit(tower.apply)(params, jnp.zeros((1, 224, 224, 3)))
     assert out.shape == (1, cfg.embed_dim)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_activation_parity_vs_hf_transformers_clip():
+    """Activation parity of both towers against an INDEPENDENT torch CLIP
+    implementation (HuggingFace transformers), mirroring the CuTR parity
+    harness: a tiny random HF CLIPModel's state dict is re-keyed to the
+    OpenAI/open_clip layout our converter consumes
+    (models/clip/convert.py), and image/text features must match to 1e-4.
+
+    The reference consumes CLIP via external open_clip weights
+    (tools/utils.py:342-353); this proves our flax towers compute the same
+    function as the torch stack those weights were trained in."""
+    import torch
+    from transformers import CLIPConfig as HFCLIPConfig
+    from transformers import CLIPModel
+    from transformers import CLIPTextConfig, CLIPVisionConfig
+
+    from boxfusion_tpu.models.clip.convert import (
+        convert_image_tower,
+        convert_text_tower,
+    )
+    from boxfusion_tpu.models.clip.model import CLIPImageTower, CLIPTextTower
+
+    VOCAB, CTX = 99, 77
+    hf_cfg = HFCLIPConfig(
+        vision_config=CLIPVisionConfig(
+            hidden_size=128, intermediate_size=512, num_hidden_layers=2,
+            num_attention_heads=2, image_size=32, patch_size=16,
+            hidden_act="quick_gelu", attention_dropout=0.0,
+        ).to_dict(),
+        text_config=CLIPTextConfig(
+            hidden_size=128, intermediate_size=512, num_hidden_layers=2,
+            num_attention_heads=2, vocab_size=VOCAB,
+            max_position_embeddings=CTX, hidden_act="quick_gelu",
+            attention_dropout=0.0, eos_token_id=VOCAB - 1,
+        ).to_dict(),
+        projection_dim=64,
+    )
+    torch.manual_seed(0)
+    hf = CLIPModel(hf_cfg).eval()
+
+    # --- re-key the HF state dict to the OpenAI/open_clip layout ----------
+    sd = {}
+    v = hf.vision_model
+    sd["visual.conv1.weight"] = v.embeddings.patch_embedding.weight
+    sd["visual.class_embedding"] = v.embeddings.class_embedding
+    sd["visual.positional_embedding"] = v.embeddings.position_embedding.weight
+    sd["visual.ln_pre.weight"] = v.pre_layrnorm.weight
+    sd["visual.ln_pre.bias"] = v.pre_layrnorm.bias
+    sd["visual.ln_post.weight"] = v.post_layernorm.weight
+    sd["visual.ln_post.bias"] = v.post_layernorm.bias
+    sd["visual.proj"] = hf.visual_projection.weight.T
+    t = hf.text_model
+    sd["token_embedding.weight"] = t.embeddings.token_embedding.weight
+    sd["positional_embedding"] = t.embeddings.position_embedding.weight
+    sd["ln_final.weight"] = t.final_layer_norm.weight
+    sd["ln_final.bias"] = t.final_layer_norm.bias
+    sd["text_projection"] = hf.text_projection.weight.T
+
+    def blocks(prefix, layers):
+        for i, lyr in enumerate(layers):
+            p = f"{prefix}.{i}"
+            a = lyr.self_attn
+            sd[p + ".attn.in_proj_weight"] = torch.cat(
+                [a.q_proj.weight, a.k_proj.weight, a.v_proj.weight], 0
+            )
+            sd[p + ".attn.in_proj_bias"] = torch.cat(
+                [a.q_proj.bias, a.k_proj.bias, a.v_proj.bias], 0
+            )
+            sd[p + ".attn.out_proj.weight"] = a.out_proj.weight
+            sd[p + ".attn.out_proj.bias"] = a.out_proj.bias
+            sd[p + ".ln_1.weight"] = lyr.layer_norm1.weight
+            sd[p + ".ln_1.bias"] = lyr.layer_norm1.bias
+            sd[p + ".ln_2.weight"] = lyr.layer_norm2.weight
+            sd[p + ".ln_2.bias"] = lyr.layer_norm2.bias
+            sd[p + ".mlp.c_fc.weight"] = lyr.mlp.fc1.weight
+            sd[p + ".mlp.c_fc.bias"] = lyr.mlp.fc1.bias
+            sd[p + ".mlp.c_proj.weight"] = lyr.mlp.fc2.weight
+            sd[p + ".mlp.c_proj.bias"] = lyr.mlp.fc2.bias
+
+    blocks("visual.transformer.resblocks", v.encoder.layers)
+    blocks("transformer.resblocks", t.encoder.layers)
+    sd = {k: v_.detach() for k, v_ in sd.items()}
+
+    img_params, img_cfg = convert_image_tower(sd, quick_gelu=True)
+    txt_params, txt_cfg = convert_text_tower(sd, quick_gelu=True)
+    assert img_cfg.width == 128 and img_cfg.heads == 2 and img_cfg.embed_dim == 64
+
+    # --- image parity ------------------------------------------------------
+    rng = np.random.RandomState(0)
+    pix = rng.randn(2, 32, 32, 3).astype(np.float32)  # already normalized
+    with torch.no_grad():
+        ref_img = hf.get_image_features(
+            pixel_values=torch.from_numpy(pix.transpose(0, 3, 1, 2))
+        ).numpy()
+    ours_img = np.asarray(
+        jax.jit(CLIPImageTower(img_cfg).apply)(img_params, jnp.asarray(pix))
+    )
+    np.testing.assert_allclose(ours_img, ref_img, atol=1e-4, rtol=1e-4)
+
+    # --- text parity -------------------------------------------------------
+    toks = rng.randint(1, VOCAB - 1, (3, CTX)).astype(np.int64)
+    eot_pos = np.array([5, CTX - 1, 20])
+    for r, pos in enumerate(eot_pos):  # one EOT (= max id) per row
+        toks[r, pos] = VOCAB - 1
+    with torch.no_grad():
+        ref_txt = hf.get_text_features(input_ids=torch.from_numpy(toks)).numpy()
+    ours_txt = np.asarray(
+        jax.jit(CLIPTextTower(txt_cfg).apply)(txt_params, jnp.asarray(toks))
+    )
+    np.testing.assert_allclose(ours_txt, ref_txt, atol=1e-4, rtol=1e-4)
