@@ -101,10 +101,16 @@ def main(argv=None) -> int:
         print("Results for boxes already exist, skip evaluation")
         return 0
 
-    wants_label = bool(
-        args.clip_path
-        or (os.path.exists(args.class_features) and os.path.exists(args.class_txt))
-    )
+    # labeling requires explicit CLIP weights: asset presence alone must not
+    # silently enable a RANDOM image tower against real text features
+    wants_label = bool(args.clip_path)
+    if not wants_label and os.path.exists(args.class_features) and os.path.exists(
+        args.class_txt
+    ):
+        print(
+            "[cli] class assets present but --clip-path not given; "
+            "open-vocab labeling disabled"
+        )
 
     # dataset
     if args.dataset_path.lower() == "synthetic":

@@ -147,9 +147,12 @@ def main(argv=None) -> int:
         seq_ids = [s for s in seq_ids if str(s) in wanted]
         missing = wanted - set(map(str, seq_ids))
         if missing:
+            source = (
+                f"--seq-list {args.seq_list}" if args.seq_list else "--data-root"
+            )
             print(
-                f"[eval] --video-ids not found under --data-root: "
-                f"{sorted(missing)}", file=sys.stderr,
+                f"[eval] --video-ids not in {source}: {sorted(missing)}",
+                file=sys.stderr,
             )
             return 1
     if not seq_ids:
@@ -171,12 +174,19 @@ def main(argv=None) -> int:
     from boxfusion_tpu.cli import _build_cutr_detector
     from boxfusion_tpu.runtime.detector import CuTRDetector
 
-    # open-vocab labeling (same assets/flags as the main CLI, demo.py:458-461)
+    # open-vocab labeling (same assets/flags as the main CLI, demo.py:458-461).
+    # Requires explicit --clip-path: asset presence alone must not silently
+    # enable a RANDOM image tower against real text features (every box
+    # would sink into the background column and AP would read 0).
     labeler = None
-    wants_label = bool(
-        args.clip_path
-        or (os.path.exists(args.class_features) and os.path.exists(args.class_txt))
-    )
+    wants_label = bool(args.clip_path)
+    if not wants_label and os.path.exists(args.class_features) and os.path.exists(
+        args.class_txt
+    ):
+        print(
+            "[eval] class assets present but --clip-path not given; "
+            "open-vocab labeling disabled"
+        )
     if wants_label:
         try:
             from boxfusion_tpu.models.clip import build_labeler

@@ -240,13 +240,22 @@ def build_labeler(
     class_txt: str,
     class_features: str,
     sim_thres: float = 0.0,
+    allow_random: bool = False,
+    cfg: Optional[CLIPConfig] = None,
 ) -> OpenVocabLabeler:
-    """Assemble the labeler from the reference's assets (demo.py:458-461)."""
+    """Assemble the labeler from the reference's assets (demo.py:458-461).
+
+    ``clip_path`` is required: a random-weight image tower scored against
+    REAL text features produces meaningless similarities (with a high
+    ``sim_thres`` every detection silently sinks into the background
+    column).  ``allow_random=True`` opts into the random tower for
+    synthetic smoke runs only (``cfg`` then sizes the tower; ignored when
+    real weights are given -- their checkpoint defines the config)."""
     from boxfusion_tpu.utils.config import read_lines
 
     class_list = read_lines(class_txt)
     tf = load_class_features(class_features)
-    labeler = OpenVocabLabeler(class_list, tf, sim_thres=sim_thres)
+    labeler = OpenVocabLabeler(class_list, tf, cfg=cfg, sim_thres=sim_thres)
     if clip_path:
         from boxfusion_tpu.models.clip.convert import load_clip_image_params
 
@@ -254,6 +263,13 @@ def build_labeler(
         labeler.tower = CLIPImageTower(labeler.cfg)
         labeler._encode = jax.jit(labeler._encode_impl)
         labeler._boost = jax.jit(labeler._boost_impl, static_argnames=("budget",))
-    else:
+    elif allow_random:
         labeler.init_random()
+    else:
+        raise ValueError(
+            "open-vocab labeling needs CLIP image weights (--clip-path): "
+            "a random tower scored against real class features yields "
+            "garbage labels; pass allow_random=True only for synthetic "
+            "smoke runs"
+        )
     return labeler

@@ -308,6 +308,11 @@ def main(argv=None) -> int:
     p.add_argument("dst", help="output flax params (.msgpack)")
     args = p.parse_args(argv)
 
+    # load_checkpoint dispatches on the extension: any other suffix would
+    # write bytes that can never be loaded back
+    if not args.dst.endswith(".msgpack"):
+        p.error(f"dst must end with .msgpack (got {args.dst!r})")
+
     from flax import serialization
 
     params, dim, depth_model = load_checkpoint(args.src)

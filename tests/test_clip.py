@@ -257,3 +257,24 @@ def test_activation_parity_vs_hf_transformers_clip():
         jax.jit(CLIPTextTower(txt_cfg).apply)(txt_params, jnp.asarray(toks))
     )
     np.testing.assert_allclose(ours_txt, ref_txt, atol=1e-4, rtol=1e-4)
+
+
+def test_build_labeler_requires_clip_weights(tmp_path):
+    """Without --clip-path the labeler must refuse to random-init its image
+    tower against real text features (garbage similarities would silently
+    sink every detection into the background column)."""
+    import torch
+
+    from boxfusion_tpu.models.clip.head import build_labeler
+
+    txt = tmp_path / "classes.txt"
+    txt.write_text("chair\ntable\n")
+    feats = tmp_path / "feats.pt"
+    f = torch.randn(2, TINY.embed_dim)
+    torch.save(f / f.norm(dim=-1, keepdim=True), feats)
+
+    with pytest.raises(ValueError, match="clip-path"):
+        build_labeler(None, str(txt), str(feats), cfg=TINY)
+
+    lab = build_labeler(None, str(txt), str(feats), allow_random=True, cfg=TINY)
+    assert list(lab.class_list) == ["chair", "table"]

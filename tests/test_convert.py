@@ -109,3 +109,14 @@ def test_rgb_only_checkpoint_roundtrip_and_detector(tmp_path):
     assert frame.depth is not None  # stream has depth; model must ignore it
     out = det(frame)
     assert out["boxes3d"].shape[-1] == 6 and out["scores"].ndim == 1
+
+
+def test_convert_cli_rejects_non_msgpack_dst(tmp_path):
+    """load_checkpoint dispatches on the .msgpack suffix, so the converter
+    must refuse to write bytes under a name it could never load back."""
+    import pytest
+
+    from boxfusion_tpu.models.cutr.convert import main as convert_main
+
+    with pytest.raises(SystemExit):
+        convert_main([str(tmp_path / "in.pth"), str(tmp_path / "out.ckpt")])

@@ -61,6 +61,24 @@ def _install_reference(monkeypatch=None):
         sys.path.insert(0, REF)
 
 
+def _sanitize_reference_init(ref_model):
+    """Overwrite the reference's UNINITIALIZED ``level_embed`` parameter.
+
+    cubify_transformer.py:1135 builds it from ``torch.Tensor(...)`` --
+    uninitialized memory -- and never initializes it.  Harmless with a real
+    checkpoint (loading overwrites it) but in these random-construction
+    parity tests the garbage bytes occasionally decode to NaN/huge floats,
+    which poisons BOTH models identically (we convert the same state dict)
+    and made this suite flake with all-NaN outputs.  Deterministic fill so
+    every trial sees the same finite values."""
+    import torch
+
+    with torch.no_grad():
+        emb = ref_model.level_embed
+        g = torch.Generator().manual_seed(42)
+        emb.copy_(torch.randn(emb.shape, generator=g) * 0.02)
+
+
 @pytest.fixture(scope="module")
 def parity_setup():
     _install_reference()
@@ -73,6 +91,7 @@ def parity_setup():
 
     torch.manual_seed(0)
     ref_model = make_cubify_transformer(dimension=192, depth_model=True).eval()
+    _sanitize_reference_init(ref_model)
 
     # one upright frame (H=192, W=256 -> square pad 256, rgb:depth ratio 1)
     H, W = 192, 256
@@ -137,6 +156,15 @@ def _assert_detection_set_parity(got, want, atols):
     ``got``/``want``: dicts field -> (N, ...) arrays, must contain
     "scores"; ``atols``: field -> atol.  Integer fields (e.g.
     "pred_classes") use atol 0 (exact).
+
+    One verified escape hatch: near the top-k SCORE BOUNDARY the two
+    implementations can keep DIFFERENT queries outright (the k-th and
+    (k+1)-th scores tie within cross-implementation float noise, which
+    itself varies with the host's thread count -- the flake only ever
+    reproduced under a fully loaded suite).  No tolerance can match a row
+    that is missing from the other set, so unmatched rows are excused iff
+    BOTH sides of the pair sit within a small band of the k-th score --
+    anything unmatched above the band is a real divergence and still fails.
     """
     from scipy.optimize import linear_sum_assignment
 
@@ -158,9 +186,19 @@ def _assert_detection_set_parity(got, want, atols):
     rows, cols = linear_sum_assignment(np.where(feasible, dist, 1e6))
     bad = ~feasible[rows, cols]
     if bad.any():
-        # this assert has a (rare) flake history -- dump enough detail that
-        # a CI failure is diagnosable without a rerun: for each unmatched
-        # got-row, the per-field distance to its best feasible-ish partner
+        # excuse ONLY top-k boundary swaps: both members of the unmatched
+        # pair score within `band` of the k-th (lowest) kept score, and at
+        # most a handful of rows are involved
+        gs = np.asarray(got["scores"], np.float64)
+        ws = np.asarray(want["scores"], np.float64)
+        band = 4.0 * atols["scores"]
+        kth = ws.min()
+        boundary = (gs[rows[bad]] <= kth + band) & (ws[cols[bad]] <= kth + band)
+        if boundary.all() and bad.sum() <= max(2, n // 16):
+            return
+        # dump enough detail that a CI failure is diagnosable without a
+        # rerun: for each unmatched got-row, the per-field distance to its
+        # best feasible-ish partner
         lines = []
         for r, c in zip(rows[bad][:5], cols[bad][:5]):
             per_field = {
@@ -244,6 +282,7 @@ def test_activation_parity_ratio2_depth_window():
 
     torch.manual_seed(1)
     ref_model = make_cubify_transformer(dimension=192, depth_model=True).eval()
+    _sanitize_reference_init(ref_model)
 
     H, W = 160, 224
     rng = np.random.RandomState(1)
