@@ -112,12 +112,8 @@ def _batched_packed_fn(model, cfg, kmax: int, *, h: int, w: int, dh: int,
     """
     import dataclasses
 
-    from boxfusion_tpu.data.preprocess import (
-        PIXEL_MEAN_U8,
-        PIXEL_STD_U8,
-        _package_jit,
-    )
-    from boxfusion_tpu.runtime.fused import unpack_fused_buffer
+    from boxfusion_tpu.data.preprocess import _package_jit
+    from boxfusion_tpu.runtime.fused import label_boost_core, unpack_fused_buffer
 
     key = (
         model, cfg, kmax, h, w, dh, dw, square, ratio, depth_mode,
@@ -158,25 +154,17 @@ def _batched_packed_fn(model, cfg, kmax: int, *, h: int, w: int, dh: int,
         det = {k: v for k, v in out.items() if k in _KEEP}
         n_lanes = det["scores"].shape[0]
         if labeler is not None:
-            imgs = stacked.image * jnp.asarray(PIXEL_STD_U8) + jnp.asarray(
-                PIXEL_MEAN_U8
-            )
-            raw_ok = det["scores"] >= raw_score_thresh
-            masked = jnp.where(raw_ok, det["scores"], -1e9)
-            budget = min(int(label_budget), int(det["pred_boxes"].shape[1]))
-
-            def boost(img, boxes, sc, hw):
-                return labeler._boost_impl(
-                    img, boxes, sc, hw,
-                    jnp.float32(scale_box), jnp.float32(clip_coeff), budget,
-                    params=clip_params, text_features=text_features,
+            # the fused B=1 label stage, vmapped over the lane axis --
+            # decision parity with FusedDevicePipeline by construction
+            def boost(det_1, img, hw):
+                return label_boost_core(
+                    labeler, det_1, img, hw,
+                    label_budget=label_budget, scale_box=scale_box,
+                    clip_coeff=clip_coeff, raw_score_thresh=raw_score_thresh,
+                    clip_params=clip_params, text_features=text_features,
                 )
 
-            new_scores, cats, _, overflow = jax.vmap(boost)(
-                imgs, det["pred_boxes"], masked, metas[:, 34:36]
-            )
-            det["scores"] = jnp.where(raw_ok, new_scores, -1e9)
-            det["category"] = cats
+            det, overflow = jax.vmap(boost)(det, stacked.image, metas[:, 34:36])
         else:
             overflow = jnp.zeros((n_lanes,), jnp.int32)
         det = pad_detections(det, kmax)

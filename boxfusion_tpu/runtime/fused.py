@@ -117,6 +117,41 @@ def unpack_fused_buffer(buf, *, h: int, w: int, dh: int, dw: int,
 _PROGRAM_CACHE: Dict[tuple, object] = {}
 
 
+def label_boost_core(
+    labeler, det, norm_image, image_hw, *, label_budget, scale_box,
+    clip_coeff, raw_score_thresh, clip_params, text_features,
+):
+    """Open-vocab labeling of ONE frame's detections, traced inline.
+
+    The single shared implementation of the reference's per-keyframe label
+    stage (demo.py:138-171): raw-score filter BEFORE CLIP, top-``budget``
+    boost, background drop (scores sunk to -1e9 so the step's score filter
+    removes them).  ``norm_image`` is the preprocessor-normalized image;
+    de-normalization to 0..255 happens here.  Used unbatched by the fused
+    B=1 engine and vmapped over the lane axis by ``runtime.batched`` --
+    decision parity between the two engines is BY CONSTRUCTION.
+
+    Returns ``(det', overflow)`` where overflow counts live rows past the
+    label budget (folded into stats[4] by the callers)."""
+    image_dev = norm_image * jnp.asarray(PIXEL_STD_U8) + jnp.asarray(PIXEL_MEAN_U8)
+    raw_ok = det["scores"] >= raw_score_thresh
+    masked = jnp.where(raw_ok, det["scores"], -1e9)
+    budget = min(int(label_budget), int(det["pred_boxes"].shape[0]))
+    new_scores, categories, _, overflow = labeler._boost_impl(
+        image_dev,
+        det["pred_boxes"],
+        masked,
+        image_hw,
+        jnp.float32(scale_box),
+        jnp.float32(clip_coeff),
+        budget,
+        params=clip_params,
+        text_features=text_features,
+    )
+    det = dict(det, scores=jnp.where(raw_ok, new_scores, -1e9), category=categories)
+    return det, overflow
+
+
 def make_fused_keyframe_fn(
     model,
     step_cfg,
@@ -181,27 +216,13 @@ def make_fused_keyframe_fn(
         }
 
         if labeler is not None:
-            image_dev = batch.image[0] * jnp.asarray(PIXEL_STD_U8) + jnp.asarray(
-                PIXEL_MEAN_U8
+            # the step's own score filter is bypassed (DevicePipeline.__init__)
+            det, overflow = label_boost_core(
+                labeler, det, batch.image[0], image_hw,
+                label_budget=label_budget, scale_box=scale_box,
+                clip_coeff=clip_coeff, raw_score_thresh=raw_score_thresh,
+                clip_params=clip_params, text_features=text_features,
             )
-            # raw-score filter BEFORE labeling (demo.py:138-148): the step's
-            # own score filter is bypassed (DevicePipeline.__init__).
-            raw_ok = det["scores"] >= raw_score_thresh
-            masked = jnp.where(raw_ok, det["scores"], -1e9)
-            budget = min(int(label_budget), int(det["pred_boxes"].shape[0]))
-            new_scores, categories, _, overflow = labeler._boost_impl(
-                image_dev,
-                det["pred_boxes"],
-                masked,
-                image_hw,
-                jnp.float32(scale_box),
-                jnp.float32(clip_coeff),
-                budget,
-                params=clip_params,
-                text_features=text_features,
-            )
-            det["scores"] = jnp.where(raw_ok, new_scores, -1e9)
-            det["category"] = categories
             state = dataclasses.replace(
                 state, stats=state.stats.at[4].add(overflow)
             )

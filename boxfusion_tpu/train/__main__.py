@@ -54,8 +54,12 @@ def _frame_targets(seq, frame, G: int) -> dict:
         boxes2d[:n, 2:] = xyxy[:, 2:] - xyxy[:, :2]
         proj_xy[:n] = det["proj_xy"][:n]
         z[:n, 0] = det["boxes3d"][:n, 2]
-        dims[:n] = det["boxes3d"][:n, 3:]
-        pose[:n] = det["R"][:n]
+        # the supervised head emits dims as (w, h, l); exported boxes3d is
+        # LHW (model.py reorders with (2, 1, 0) at inference) -- targets
+        # must be in the HEAD's order or the loss swaps length and width
+        dims[:n] = det["boxes3d"][:n, 3:][:, (2, 1, 0)]
+        pose[:n] = det["R"][:n]  # synthetic T_gravity is identity, so the
+        # exported R equals the head's pre-gravity output
         mask[:n] = 1.0
     return dict(boxes2d=boxes2d, proj_xy=proj_xy, z=z, dims=dims, pose=pose, mask=mask)
 
@@ -108,9 +112,14 @@ def _targets_from_world_corners(corners_world: np.ndarray, frame, G: int) -> dic
         )
         proj_xy[:n] = np.stack([u[:n], v[:n]], -1)
         z_t[:n, 0] = z[:n]
-        dims[:n] = xyzlhw[:n, 3:]
+        # head dims order is (w, h, l); corners_to_params returns (l, h, w)
+        dims[:n] = xyzlhw[:n, 3:][:, (2, 1, 0)]
+        # inference exports R = T_gravity @ pose_head (model.py, reference
+        # cubify_transformer.py:991-992), so the HEAD's target for a
+        # camera-frame GT rotation is T_gravity^T @ R_cam -- supervising
+        # with Tg @ R_cam would make a converged model export Tg^2 @ R_cam
         Tg = np.asarray(frame.T_gravity, np.float32)
-        pose[:n] = np.einsum("ij,gjk->gik", Tg, R_cam[:n])
+        pose[:n] = np.einsum("ji,gjk->gik", Tg, R_cam[:n])
         mask[:n] = 1.0
     return dict(boxes2d=boxes2d, proj_xy=proj_xy, z=z_t, dims=dims,
                 pose=pose, mask=mask)

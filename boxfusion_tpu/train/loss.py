@@ -17,8 +17,6 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from boxfusion_tpu.models.cutr.layers import box_cxcywh_to_xyxy
-
 
 def greedy_match(cost: jnp.ndarray, gt_mask: jnp.ndarray) -> jnp.ndarray:
     """Greedy assignment: for each GT (in order), the cheapest free query.

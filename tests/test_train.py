@@ -134,3 +134,57 @@ def test_shard_inference_matches_single_device():
         np.sort(np.asarray(want["scores"]).ravel()),
         atol=2e-3,
     )
+
+
+def test_training_targets_match_head_layout():
+    """The loss supervises the RAW head outputs: dims in (w, h, l) order
+    (exported boxes3d is LHW only after model.py's (2,1,0) reorder) and
+    pose PRE-gravity (inference exports T_gravity @ pose_head).  Regression
+    for a silent supervision mismatch: with swapped targets the loss still
+    converges but a converged model exports swapped l/w and doubly-rotated
+    poses."""
+    from boxfusion_tpu.data.synthetic import OracleDetector, SyntheticSequence
+    from boxfusion_tpu.train.__main__ import (
+        _frame_targets,
+        _targets_from_world_corners,
+    )
+
+    seq = SyntheticSequence(n_frames=2, n_boxes=4, seed=3)
+    frame = next(iter(seq))
+    det = OracleDetector(seq, noise=0.0)(frame)
+    t = _frame_targets(seq, frame, G=8)
+    n = int(t["mask"].sum())
+    assert n > 0
+    lhw = det["boxes3d"][:n, 3:]
+    np.testing.assert_allclose(t["dims"][:n], lhw[:, (2, 1, 0)], atol=1e-6)
+
+    # real-GT path: fabricate a tilted T_gravity and a box straight ahead;
+    # the export relation T_gravity @ pose_target must recover the
+    # camera-frame GT rotation
+    from boxfusion_tpu.geometry.boxes import box_corners
+
+    c, s = np.cos(0.3), np.sin(0.3)
+    Tg = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    R_gt = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32)  # 90° yaw
+    xyzlhw = np.array([[0.0, 0.0, 2.0, 0.8, 0.5, 0.3]], np.float32)
+    corners_cam = np.asarray(box_corners(xyzlhw, R_gt[None]))
+
+    class _F:
+        gt_pose = np.eye(4, dtype=np.float32)  # camera at world origin
+        K = np.array([[200.0, 0, 128], [0, 200.0, 96], [0, 0, 1]], np.float32)
+        T_gravity = Tg
+        image = np.zeros((192, 256, 3), np.uint8)
+
+    t2 = _targets_from_world_corners(corners_cam, _F(), G=4)
+    assert int(t2["mask"].sum()) == 1
+    # dims: corners_to_params returns (l, h, w); target must be (w, h, l)
+    np.testing.assert_allclose(
+        np.sort(t2["dims"][0]), np.sort(xyzlhw[0, 3:]), atol=1e-5
+    )
+    np.testing.assert_allclose(t2["dims"][0][1], xyzlhw[0, 4], atol=1e-5)
+    # pose: export relation recovers the camera-frame rotation (up to the
+    # box-frame axis permutation corners_to_params may choose)
+    R_export = Tg @ t2["pose"][0]
+    col_match = np.abs(R_export.T @ R_gt)
+    np.testing.assert_allclose(col_match.max(0), 1.0, atol=1e-4)
+    np.testing.assert_allclose(col_match.max(1), 1.0, atol=1e-4)
