@@ -216,7 +216,11 @@ def nms_3d(
     Returns:
       (keep, success_nms) sorted index arrays.
     """
-    order = np.asarray(scores).argsort()[::-1]
+    # kind="stable": numpy's default argsort is unstable quicksort, so tied
+    # scores would be engine-dependent; a reversed STABLE ascending sort
+    # gives the deterministic larger-index-first tie order the device
+    # engines implement (device_step.py::_argmax_score_desc)
+    order = np.asarray(scores).argsort(kind="stable")[::-1]
     keep: List[int] = []
     success_nms: List[int] = []
 

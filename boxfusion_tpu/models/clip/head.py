@@ -125,13 +125,18 @@ class OpenVocabLabeler:
         self._encode = jax.jit(self._encode_impl)
         self._boost = jax.jit(self._boost_impl, static_argnames=("budget",))
 
-    def _encode_impl(self, image, boxes):
+    def _encode_impl(self, image, boxes, params=None, text_features=None):
+        # params/text_features are threaded through the jit boundary as
+        # ARGUMENTS by the public callers: a jit'd closure over self.params
+        # would bake the weights in at first trace and silently ignore any
+        # later init_random()/assignment (stale-weight trap)
+        tf = jnp.asarray(self.text_features) if text_features is None else text_features
         crops = batched_crop_resize(image, boxes)
         crops = (crops / 255.0 - jnp.asarray(CLIP_IMAGE_MEAN)) / jnp.asarray(CLIP_IMAGE_STD)
-        feats = self.tower.apply(self.params, crops)
+        feats = self.tower.apply(self.params if params is None else params, crops)
         feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
         sims = 100.0 * jnp.matmul(
-            feats, jnp.asarray(self.text_features).T,
+            feats, tf.T,
             precision=jax.lax.Precision.HIGHEST,  # label argmax ties need f32
         )
         return feats, sims
@@ -196,6 +201,8 @@ class OpenVocabLabeler:
             image, boxes_xyxy, scores,
             jnp.asarray(hw, jnp.float32), jnp.float32(scale),
             jnp.float32(coeff), budget,
+            params=self.params,
+            text_features=jnp.asarray(self.text_features),
         )
 
     def init_random(self, seed: int = 0):
@@ -212,7 +219,11 @@ class OpenVocabLabeler:
         pad = self.max_boxes if n <= self.max_boxes else ((n + 31) // 32) * 32
         b = np.zeros((pad, 4), np.float32)
         b[:n] = boxes
-        feats, sims = self._encode(jnp.asarray(image, jnp.float32), jnp.asarray(b))
+        feats, sims = self._encode(
+            jnp.asarray(image, jnp.float32), jnp.asarray(b),
+            params=self.params,
+            text_features=jnp.asarray(self.text_features),
+        )
         feats = np.asarray(feats)[:n]
         sims = np.asarray(sims)[:n]
 
@@ -261,6 +272,10 @@ def build_labeler(
 
         labeler.params, labeler.cfg = load_clip_image_params(clip_path)
         labeler.tower = CLIPImageTower(labeler.cfg)
+        # the TOWER (not just params) changed -> the jit caches traced the
+        # old module as a closure constant and must be rebuilt (params/
+        # text_features themselves are passed as arguments, so plain weight
+        # swaps never need this)
         labeler._encode = jax.jit(labeler._encode_impl)
         labeler._boost = jax.jit(labeler._boost_impl, static_argnames=("budget",))
     elif allow_random:

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 PAD_ID = np.int32(2**30)  # fusion-list padding (sorts after any real id)
-STATS_WIDTH = 5  # len of DeviceState.stats (see the field's counter list)
+STATS_WIDTH = 7  # len of DeviceState.stats (see the field's counter list)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -136,6 +136,12 @@ def export_world(state: DeviceState, class_list=None) -> Dict[str, np.ndarray]:
             "truncated_gated_pairs": int(state.stats[2]),
             "keyframes": int(state.stats[3]),
             "label_overflow": int(state.stats[4]),
+            # fusion-list merges dropping members past max_views (the
+            # reference's Python lists are unbounded there)
+            "truncated_fusion_members": int(state.stats[5]),
+            # eligible fusion slots pushed past max_fusions to a later
+            # keyframe
+            "deferred_fusions": int(state.stats[6]),
         },
     }
     if class_list is not None:

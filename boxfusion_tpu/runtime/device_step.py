@@ -152,6 +152,14 @@ def _record_core(flist, fcount, fflag, keep, i, j, extra, obs_pose, init_id,
     swap_b = (~is_single) & (~mergeable)
 
     row_b, count_b = _merge_sorted(flist[i], fcount[i], flist[j], fcount[j], V)
+    # no-silent-caps: a case-B merge of two lists can exceed the V-slot row
+    # and _merge_sorted keeps only the V smallest obs ids; the reference's
+    # Python lists are unbounded here (box_manager.py:59-77), so surface the
+    # dropped-member count (stats[5]) instead of silently diverging.
+    # Computed from the PRE-merge counts -- fcount[i] is overwritten below.
+    trunc = jnp.where(
+        apply_b, jnp.maximum(fcount[i] + fcount[j] - V, 0), 0
+    ).astype(jnp.int32)
 
     new_row = jnp.where(apply_a, row_a, jnp.where(apply_b, row_b, flist[i]))
     new_count = jnp.where(apply_a, fcount[i] + 1, jnp.where(apply_b, count_b, fcount[i]))
@@ -164,17 +172,20 @@ def _record_core(flist, fcount, fflag, keep, i, j, extra, obs_pose, init_id,
     keep = keep.at[j].set(jnp.where(do_swap, True, keep[j]))
 
     fflag = fflag.at[i].set(fflag[i] | ((~is_single) & fflag[j]))
-    return flist, fcount, fflag, keep
+    return flist, fcount, fflag, keep, trunc
 
 
 def _record_one(state: DeviceState, keep, i, j, cfg: StepConfig):
     """Process one suppressed box j against survivor i (box_manager.py:48-87)."""
     center_far = jnp.linalg.norm(state.xyzlhw[i, :3] - state.xyzlhw[j, :3]) > 0.5
-    flist, fcount, fflag, keep = _record_core(
+    flist, fcount, fflag, keep, trunc = _record_core(
         state.flist, state.fcount, state.fflag, keep, i, j, center_far,
         state.obs_pose, state.init_id, cfg,
     )
-    return dataclasses.replace(state, flist=flist, fcount=fcount, fflag=fflag), keep
+    return dataclasses.replace(
+        state, flist=flist, fcount=fcount, fflag=fflag,
+        stats=state.stats.at[5].add(trunc),
+    ), keep
 
 
 def _nms_greedy(state: DeviceState, cfg: StepConfig):
@@ -330,25 +341,28 @@ def _nms_greedy_unrolled(state: DeviceState, cfg: StepConfig):
     prio = jnp.where(suppressed, rank[sup_of] * G + rank, big)
 
     def rec(c):
-        flist, fcount, fflag, keep, prio = c
+        flist, fcount, fflag, keep, prio, trunc_acc = c
         j = jnp.argmin(prio)
         i = sup_of[j]
         prio = prio.at[j].set(big)
         center_far = (
             jnp.linalg.norm(state.xyzlhw[i, :3] - state.xyzlhw[j, :3]) > 0.5
         )
-        flist, fcount, fflag, keep = _record_core(
+        flist, fcount, fflag, keep, trunc = _record_core(
             flist, fcount, fflag, keep, i, j, center_far,
             state.obs_pose, state.init_id, cfg,
         )
-        return flist, fcount, fflag, keep, prio
+        return flist, fcount, fflag, keep, prio, trunc_acc + trunc
 
-    c = (state.flist, state.fcount, state.fflag, keep, prio)
+    c = (state.flist, state.fcount, state.fflag, keep, prio, jnp.int32(0))
     for _ in range(G):
         c = jax.lax.cond(jnp.min(c[4]) < big, rec, lambda a: a, c)
-    flist, fcount, fflag, keep, _ = c
+    flist, fcount, fflag, keep, _, trunc_acc = c
 
-    state = dataclasses.replace(state, flist=flist, fcount=fcount, fflag=fflag)
+    state = dataclasses.replace(
+        state, flist=flist, fcount=fcount, fflag=fflag,
+        stats=state.stats.at[5].add(trunc_acc),
+    )
     return state, keep, success
 
 
@@ -363,11 +377,14 @@ def _record_corr_one(state: DeviceState, keep, cur, other, cfg: StepConfig):
     """record_corr (box_manager.py:90-129): the record bookkeeping with a
     pose-only gate (no center-distance escape hatch -> extra=False) and the
     keep-substitute semantics of box_manager.py:122-123."""
-    flist, fcount, fflag, keep = _record_core(
+    flist, fcount, fflag, keep, trunc = _record_core(
         state.flist, state.fcount, state.fflag, keep, cur, other,
         jnp.bool_(False), state.obs_pose, state.init_id, cfg,
     )
-    return dataclasses.replace(state, flist=flist, fcount=fcount, fflag=fflag), keep
+    return dataclasses.replace(
+        state, flist=flist, fcount=fcount, fflag=fflag,
+        stats=state.stats.at[5].add(trunc),
+    ), keep
 
 
 def _correspondence(state, keep, success, n_before, proj2d, cfg: StepConfig):
@@ -455,7 +472,7 @@ def _correspondence_unrolled(state, keep, success, n_before, proj2d, cfg: StepCo
     have_globals = jnp.any(global_keep)
 
     def body(c):
-        pending, flist, fcount, fflag, keep, valid_num = c
+        pending, flist, fcount, fflag, keep, valid_num, trunc_acc = c
         s = jnp.argmin(jnp.where(pending, slot, G + 1))  # ascending slot order
         pending = pending.at[s].set(False)
 
@@ -468,39 +485,44 @@ def _correspondence_unrolled(state, keep, success, n_before, proj2d, cfg: StepCo
         no_extra = jnp.bool_(False)
 
         def do_new_wins(args):
-            flist, fcount, fflag, keep, valid_num = args
+            flist, fcount, fflag, keep, valid_num, trunc_acc = args
             keep = keep.at[best].set(False)
             valid_num = valid_num.at[s].add(1.0)
-            flist, fcount, fflag, keep = _record_core(
+            flist, fcount, fflag, keep, trunc = _record_core(
                 flist, fcount, fflag, keep, s, best, no_extra,
                 state.obs_pose, state.init_id, cfg,
             )
-            return flist, fcount, fflag, keep, valid_num
+            return flist, fcount, fflag, keep, valid_num, trunc_acc + trunc
 
         def do_old_wins(args):
-            flist, fcount, fflag, keep, valid_num = args
+            flist, fcount, fflag, keep, valid_num, trunc_acc = args
             keep = keep.at[s].set(False)
             valid_num = valid_num.at[best].add(1.0)
-            flist, fcount, fflag, keep = _record_core(
+            flist, fcount, fflag, keep, trunc = _record_core(
                 flist, fcount, fflag, keep, best, s, no_extra,
                 state.obs_pose, state.init_id, cfg,
             )
-            return flist, fcount, fflag, keep, valid_num
+            return flist, fcount, fflag, keep, valid_num, trunc_acc + trunc
 
         def do_hit(args):
             return jax.lax.cond(new_wins, do_new_wins, do_old_wins, args)
 
-        flist, fcount, fflag, keep, valid_num = jax.lax.cond(
-            hit, do_hit, lambda a: a, (flist, fcount, fflag, keep, valid_num)
+        flist, fcount, fflag, keep, valid_num, trunc_acc = jax.lax.cond(
+            hit, do_hit, lambda a: a,
+            (flist, fcount, fflag, keep, valid_num, trunc_acc),
         )
-        return pending, flist, fcount, fflag, keep, valid_num
+        return pending, flist, fcount, fflag, keep, valid_num, trunc_acc
 
-    c = (small_new, state.flist, state.fcount, state.fflag, keep, state.valid_num)
+    c = (
+        small_new, state.flist, state.fcount, state.fflag, keep,
+        state.valid_num, jnp.int32(0),
+    )
     for _ in range(min(kmax, G)):
         c = jax.lax.cond(jnp.any(c[0]) & have_globals, body, lambda a: a, c)
-    _, flist, fcount, fflag, keep, valid_num = c
+    _, flist, fcount, fflag, keep, valid_num, trunc_acc = c
     state = dataclasses.replace(
-        state, flist=flist, fcount=fcount, fflag=fflag, valid_num=valid_num
+        state, flist=flist, fcount=fcount, fflag=fflag, valid_num=valid_num,
+        stats=state.stats.at[5].add(trunc_acc),
     )
     return state, keep
 
@@ -592,6 +614,12 @@ def _fuse_device(state: DeviceState, pst, K_img, H, W, cfg: StepConfig):
 
     _, cand = jax.lax.top_k(eligible.astype(jnp.int32), F)  # ascending-index ties
     active = eligible[cand]
+    # no-silent-caps: eligible slots beyond max_fusions are deferred to a
+    # later keyframe (they only fuse then if that keyframe has new kept
+    # boxes) -- count them (stats[6]) so eval stats never claim full
+    # fusion coverage when slots were skipped
+    deferred = jnp.maximum(jnp.sum(eligible.astype(jnp.int32)) - F, 0)
+    state = dataclasses.replace(state, stats=state.stats.at[6].add(deferred))
 
     rows = state.flist[cand]  # (F, V)
     vmask = (jnp.arange(V)[None] < state.fcount[cand][:, None]) & active[:, None]

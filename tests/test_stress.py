@@ -105,3 +105,39 @@ def test_gated_pair_truncation_counted():
     dev.step_cfg = dc.replace(dev.step_cfg, max_gated_pairs=8)
     dev_world = dev.run(frames, gap=5)
     assert dev_world["stats"]["truncated_gated_pairs"] > 0
+
+
+def test_fusion_list_merge_truncation_counted():
+    """_record_core merging two member lists past max_views must surface the
+    dropped-member count in stats[5] (the reference's Python lists are
+    unbounded there, box_manager.py:59-77 -- a silent cap would diverge
+    without a trace)."""
+    import jax.numpy as jnp
+
+    from boxfusion_tpu.runtime.device_pipeline import step_config_from
+    from boxfusion_tpu.runtime.device_step import _record_core
+
+    cfg = step_config_from(load_config("config/ca1m.yaml"))
+    V = 4
+    G = 8
+    # two multi-view slots: i holds 3 members, j holds 4 -> merge wants 7,
+    # the row holds V=4 -> 3 dropped
+    flist = np.full((G, V), 2**30, np.int32)
+    flist[0, :3] = [0, 1, 2]
+    flist[1, :4] = [3, 4, 5, 6]
+    fcount = np.zeros(G, np.int32)
+    fcount[0], fcount[1] = 3, 4
+    # far-apart poses so members_differ passes every gate
+    obs_pose = np.tile(np.eye(4, dtype=np.float32)[None], (8, 1, 1))
+    obs_pose[:, 0, 3] = 10.0 * np.arange(8)
+    init_id = np.arange(G, dtype=np.int32)
+
+    flist2, fcount2, _, _, trunc = _record_core(
+        jnp.asarray(flist), jnp.asarray(fcount),
+        jnp.zeros(G, bool), jnp.ones(G, bool),
+        0, 1, jnp.bool_(True), jnp.asarray(obs_pose), jnp.asarray(init_id), cfg,
+    )
+    assert int(fcount2[0]) == V
+    assert int(trunc) == 3
+    # the kept members are the V smallest obs ids
+    assert sorted(np.asarray(flist2[0]).tolist()) == [0, 1, 2, 3]
