@@ -34,6 +34,10 @@ def _bucket(n: int, quantum: int = 32) -> int:
     return max(quantum, ((n + quantum - 1) // quantum) * quantum)
 
 
+# Keep in lockstep with runtime/device_step.py::StepConfig.max_gated_pairs
+# (default 1024): the host and device engines implement the same
+# gate -> top_k -> pair-IoU budget independently, and the engine-parity
+# tests only hold when the budgets agree.
 MAX_GATED_PAIRS = 1024
 
 

@@ -42,6 +42,29 @@ MAX_VERTS = 20  # 8 subject vertices + <= 8 distinct clip planes, with margin
 _PAIR_I, _PAIR_J = np.triu_indices(8, k=1)
 
 
+def _pair_sides(pts: jnp.ndarray):
+    """Per candidate edge (all 28 point pairs): signed sides + tolerance.
+
+    The single source of the side-sign geometry shared by
+    ``_hull_halfplanes`` and ``_ordered_hull`` -- the edge/vertex
+    classifications MUST use identical arithmetic and tolerance or the two
+    desynchronize on boundary-degenerate hulls.
+
+    Returns (pi (28,2), e (28,2), s (28,8), tol (28,1)).
+    """
+    pi = pts[_PAIR_I]  # (28, 2)
+    e = pts[_PAIR_J] - pi
+    # signed side of every point w.r.t. each candidate line, computed from
+    # point *differences* (cross(e, p - pi)) to avoid the catastrophic
+    # cancellation of expanding n.p - n.pi at image-scale coordinates.
+    rel = pts[None, :, :] - pi[:, None, :]  # (28, 8, 2)
+    s = e[:, None, 0] * rel[..., 1] - e[:, None, 1] * rel[..., 0]  # (28, 8)
+    # tolerance scales with the magnitude of the products forming s.
+    mag = jnp.max(jnp.abs(rel), axis=(1, 2)) * jnp.max(jnp.abs(e), axis=-1)  # (28,)
+    tol = (2e-5 * mag + 1e-9)[:, None]
+    return pi, e, s, tol
+
+
 def _hull_halfplanes(pts: jnp.ndarray):
     """Half-planes of the convex hull of 8 points.
 
@@ -52,18 +75,8 @@ def _hull_halfplanes(pts: jnp.ndarray):
       normals (28, 2), offsets (28,), valid (28,) such that a point x is
       inside the hull iff for every valid plane: n.x + d >= -eps.
     """
-    pi = pts[_PAIR_I]  # (28, 2)
-    pj = pts[_PAIR_J]
-    e = pj - pi
+    pi, e, s, tol = _pair_sides(pts)
     n = jnp.stack([-e[:, 1], e[:, 0]], axis=-1)  # left normal of i->j
-    # signed side of every point w.r.t. each candidate line, computed from
-    # point *differences* (cross(e, p - pi)) to avoid the catastrophic
-    # cancellation of expanding n.p - n.pi at image-scale coordinates.
-    rel = pts[None, :, :] - pi[:, None, :]  # (28, 8, 2)
-    s = e[:, None, 0] * rel[..., 1] - e[:, None, 1] * rel[..., 0]  # (28, 8)
-    # tolerance scales with the magnitude of the products forming s.
-    mag = jnp.max(jnp.abs(rel), axis=(1, 2)) * jnp.max(jnp.abs(e), axis=-1)  # (28,)
-    tol = (2e-5 * mag + 1e-9)[:, None]
     all_nonneg = jnp.all(s >= -tol, axis=-1)
     all_nonpos = jnp.all(s <= tol, axis=-1)
     nondegenerate = jnp.sum(e * e, axis=-1) > _EPS
@@ -80,12 +93,7 @@ def _ordered_hull(pts: jnp.ndarray) -> jnp.ndarray:
     Non-hull points are replaced by the first hull vertex (harmless repeats:
     zero-length edges contribute nothing to areas or clips).
     """
-    pi = pts[_PAIR_I]
-    e = pts[_PAIR_J] - pi
-    rel = pts[None, :, :] - pi[:, None, :]
-    s = e[:, None, 0] * rel[..., 1] - e[:, None, 1] * rel[..., 0]
-    mag = jnp.max(jnp.abs(rel), axis=(1, 2)) * jnp.max(jnp.abs(e), axis=-1)
-    tol = (2e-5 * mag + 1e-9)[:, None]
+    _, _, s, tol = _pair_sides(pts)  # identical arithmetic by construction
     _, _, valid = _hull_halfplanes(pts)
     # a point is a hull vertex iff it lies on some valid hull edge line
     on_edge = (jnp.abs(s) <= tol) & valid[:, None]

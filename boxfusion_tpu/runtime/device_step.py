@@ -72,6 +72,8 @@ class StepConfig:
     translation_gap: float = 0.8
     fusion_use: bool = True
     max_fusions: int = 16
+    # keep in lockstep with fusion/association.py::MAX_GATED_PAIRS (the host
+    # engine's independent copy of the same gate->top_k->pair-IoU budget)
     max_gated_pairs: int = 1024
     grid_samples: int = 25
     check_valid: bool = False  # drop never-re-observed boxes (box_manager.py:151-166)
