@@ -253,10 +253,12 @@ class CA1MDataset(_PosedSequence):
         self.poses = np.load(os.path.join(base, "all_poses.npy")).reshape(-1, 4, 4)[start:]
 
         self.K = np.loadtxt(os.path.join(base, "K_depth.txt")).reshape(3, 3).astype(np.float32)
+        # per-frame tables MUST be sliced by the same start offset as the
+        # frame lists above -- __iter__ indexes them with the post-slice i
         k_all = os.path.join(base, "K_all.npy")
-        self.all_K = np.load(k_all) if os.path.exists(k_all) else None
+        self.all_K = np.load(k_all)[start:] if os.path.exists(k_all) else None
         k_scales = os.path.join(base, "K_scales.npy")
-        self.scales = np.load(k_scales) if os.path.exists(k_scales) else None
+        self.scales = np.load(k_scales)[start:] if os.path.exists(k_scales) else None
 
         cam = cfg["cam"]
         # portrait: height = cam.W (long), width = cam.H (short)
@@ -285,12 +287,23 @@ class CA1MDataset(_PosedSequence):
             image = _resize_rgb(image, (depth.shape[1], depth.shape[0]))
             image = _resize_rgb(image, self.size)
             depth = _resize_depth(depth, self.size)
+            K_depth = K
+            if max(self.size) > MAX_LONG_SIDE:
+                # cap the long side like the reference's CA-1M branch
+                # (capture_stream.py:462-468); without it pick_square_pad
+                # raises past the 1024 bucket instead of rescaling
+                s = MAX_LONG_SIDE / max(self.size)
+                new = (int(self.size[0] * s), int(self.size[1] * s))
+                image = _resize_rgb(image, new)
+                depth = _resize_depth(depth, new)
+                K = _scale_K(K, new[0] / self.size[0], new[1] / self.size[1])
+                K_depth = K
 
             pose = self.poses[i]
             if self._first_camera is None:
                 self._first_camera = check_first_camera(pose)
             yield self._finalize(
-                image, depth, K, K, pose, self.video_id, i,
+                image, depth, K, K_depth, pose, self.video_id, i,
                 first_camera=bool(self._first_camera),
             )
 

@@ -120,9 +120,10 @@ def classify_sequence_orientation(seq_dir: str) -> Tuple[str, int, int]:
     return ("vertical" if v > h else "horizontal"), v, h
 
 
-def rotate_sequence_upright(seq_dir: str, target: str = "majority") -> int:
-    """Rotate minority-orientation rgb/depth frames by 90 degrees
-    (rot_img.py parity).  Returns the number of rotated frames."""
+def rotate_sequence_upright(seq_dir: str) -> int:
+    """Rotate minority-orientation rgb/depth frames by 90 degrees toward the
+    majority orientation (rot_img.py parity).  Returns the number of
+    rotated frames."""
     kind, v, h = classify_sequence_orientation(seq_dir)
     want_portrait = kind == "vertical"
     rotated = 0

@@ -87,7 +87,7 @@ static void png_mem_read(png_structp png, png_bytep out, png_size_t n) {
 // Returns 0 on success.
 int bf_decode_png(const uint8_t* buf, size_t len, uint8_t** out, int* w,
                   int* h, int* channels, int* bitdepth) {
-  if (png_sig_cmp(buf, 0, 8)) return -1;
+  if (len < 8 || png_sig_cmp(buf, 0, 8)) return -1;  // truncated input: no OOB read
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
   if (!png) return -2;
@@ -118,7 +118,10 @@ int bf_decode_png(const uint8_t* buf, size_t len, uint8_t** out, int* w,
 
   if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  // transparency is irrelevant to RGB/depth decoding and must never widen
+  // the channel count: expanding tRNS to alpha while testing the ORIGINAL
+  // color type for stripping would return 4 channels that the 3-channel
+  // resize path then misreads -- so drop tRNS and strip real alpha planes.
   if (color & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
   if (depth == 16) png_set_swap(png);  // little-endian u16 out
 

@@ -232,8 +232,10 @@ def boxes3d_to_ply(sizes, centers, colors, rotations, output_path: str) -> None:
         verts.append(c)
         faces.append(faces_tmpl + 8 * i)
         vcols.extend([colors[i]] * 8)
-    v = np.vstack(verts)
-    f = np.vstack(faces)
+    # an empty box set writes a valid empty mesh instead of np.vstack([])
+    # raising (short sequences can legitimately fuse zero boxes)
+    v = np.vstack(verts) if verts else np.zeros((0, 3), np.float32)
+    f = np.vstack(faces) if faces else np.zeros((0, 3), np.int32)
     with open(output_path, "w") as fh:
         fh.write(
             "ply\nformat ascii 1.0\n"

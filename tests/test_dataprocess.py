@@ -307,3 +307,44 @@ def test_gt_filter_cli_saves_labels_from_instances(tmp_path):
     assert rc == 0
     assert np.load(seq / "after_filter_boxes.npy").shape == (1, 8, 3)
     assert list(np.load(seq / "after_filter_labels.npy")) == ["chair"]
+
+
+def test_ca1m_start_offset_aligns_per_frame_tables(tmp_path):
+    """With data.start > 0, the per-frame K_all/K_scales tables must be
+    sliced by the same offset as the frame lists -- otherwise frame
+    ``start`` silently gets frame 0's intrinsics and depth scale
+    (capture_stream.py:339-350 indexes the tables by the ABSOLUTE frame
+    number)."""
+    from boxfusion_tpu.data.readers import CA1MDataset
+    from boxfusion_tpu.utils.config import load_config
+
+    cap = _write_capture(tmp_path, n_frames=4)
+    out = tmp_path / "slam" / "42898867"
+    convert_capture_to_slam(str(cap), str(out))
+
+    # distinct per-frame intrinsics/scales so misalignment is detectable
+    n = 4
+    K_all = np.tile(np.eye(3, dtype=np.float32)[None], (n, 1, 1))
+    K_all[:, 0, 0] = 100.0 + np.arange(n)  # fx = 100, 101, 102, 103
+    K_all[:, 1, 1] = 100.0 + np.arange(n)
+    K_all[:, 0, 2] = 32.0
+    K_all[:, 1, 2] = 24.0
+    np.save(out / "K_all.npy", K_all)
+    np.save(out / "K_scales.npy", 1.0 + np.arange(n, dtype=np.float32))
+
+    def read(start):
+        cfg = load_config("config/ca1m.yaml")
+        cfg["data"]._data["datadir"] = str(out)
+        cfg["data"]._data["start"] = start
+        cfg["cam"]._data["H"] = 64
+        cfg["cam"]._data["W"] = 48
+        return list(CA1MDataset(cfg))
+
+    full = read(0)
+    sliced = read(2)
+    assert len(full) == 4 and len(sliced) == 2
+    # frame index 0 of the sliced stream is ABSOLUTE frame 2: its oriented
+    # intrinsics and metric depth must match the unsliced stream exactly
+    np.testing.assert_array_equal(sliced[0].K, full[2].K)
+    np.testing.assert_array_equal(sliced[0].depth, full[2].depth)
+    assert not np.array_equal(sliced[0].K, full[0].K)  # tables ARE distinct
