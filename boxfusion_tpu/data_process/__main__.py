@@ -88,8 +88,19 @@ def main(argv=None) -> int:
             )
             # CA-1M GT instances carry a category label; keep it in lockstep
             # with the corners when present (enables per-class eval AP)
-            if instances and all("category" in ins for ins in instances):
+            n_with_cat = sum("category" in ins for ins in instances)
+            if instances and n_with_cat == len(instances):
                 labels = np.asarray([str(ins["category"]) for ins in instances])
+            elif 0 < n_with_cat < len(instances):
+                print(
+                    f"WARNING: {len(instances) - n_with_cat}/{len(instances)} "
+                    "GT instances lack a 'category' key; labeling the missing "
+                    "ones 'unknown' (per-class eval AP groups them there)",
+                    file=sys.stderr,
+                )
+                labels = np.asarray(
+                    [str(ins.get("category", "unknown")) for ins in instances]
+                )
         K = np.loadtxt(os.path.join(seq, "K_depth.txt")).reshape(3, 3)
         all_poses = os.path.join(seq, "all_poses.npy")
         if os.path.exists(all_poses):
@@ -111,12 +122,10 @@ def main(argv=None) -> int:
             image_hw = (im.size[1], im.size[0])
         pts = read_ply_points(args.ply) if args.ply else None
         out = args.out or os.path.join(seq, "after_filter_boxes.npy")
-        kept = filter_gt_boxes(
+        kept, _ = filter_gt_boxes(
             corners, K, poses, image_hw, gt_points=pts,
             dist_threshold=args.dist_threshold, save_path=out, labels=labels,
         )
-        if labels is not None:
-            kept = kept[0]
         print(f"{len(kept)}/{len(corners)} GT boxes kept -> {out}"
               + (" (+labels)" if labels is not None else ""))
     return 0

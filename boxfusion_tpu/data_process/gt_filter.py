@@ -137,9 +137,10 @@ def filter_gt_boxes(
         per-class AP against the open-vocab labels the pipeline assigns).
 
     Returns:
-      (K, 8, 3) surviving corners, or ``(corners, labels)`` when labels are
-      given.  ``save_path`` writes the corners (after_filter_boxes.npy) and,
-      with labels, a sibling after_filter_labels.npy.
+      ``(corners, labels)`` -- (K, 8, 3) surviving corners and the surviving
+      labels ((K,) array, or None when no labels were given).  ``save_path``
+      writes the corners (after_filter_boxes.npy) and, with labels, a
+      sibling after_filter_labels.npy.
     """
     keep = frustum_culling_mask(corners, K, poses, image_hw, near, far)
     visible = corners[keep]
@@ -158,6 +159,4 @@ def filter_gt_boxes(
                 ),
                 kept_labels,
             )
-    if labels is not None:
-        return visible, kept_labels
-    return visible
+    return visible, kept_labels

@@ -212,11 +212,13 @@ def main(argv=None) -> int:
             )
         ]
         if missing:
-            raise FileNotFoundError(
-                f"--gt: after_filter_boxes.npy missing for {len(missing)} "
+            print(
+                f"[eval] --gt: after_filter_boxes.npy missing for {len(missing)} "
                 f"sequence(s) (first: {missing[0]}); produce it with "
-                "python -m boxfusion_tpu.data_process gt-filter"
+                "python -m boxfusion_tpu.data_process filter-gt",
+                file=sys.stderr,
             )
+            return 1
 
         def gt_provider(seq):
             base = seq.cfg["data"]["datadir"]
@@ -224,7 +226,7 @@ def main(argv=None) -> int:
             if not os.path.exists(path):
                 raise FileNotFoundError(
                     f"--gt: {path} not found; produce it with "
-                    "python -m boxfusion_tpu.data_process gt-filter"
+                    "python -m boxfusion_tpu.data_process filter-gt"
                 )
             corners = np.load(path).astype(np.float32)
             if corners.ndim != 3 or corners.shape[1:] != (8, 3):

@@ -139,8 +139,10 @@ def export_world(state: DeviceState, class_list=None) -> Dict[str, np.ndarray]:
             # fusion-list merges dropping members past max_views (the
             # reference's Python lists are unbounded there)
             "truncated_fusion_members": int(state.stats[5]),
-            # eligible fusion slots pushed past max_fusions to a later
-            # keyframe
+            # eligible fusion slots pushed past max_fusions, counted once
+            # per (keyframe, slot) OCCURRENCE -- a slot deferred across k
+            # keyframes adds k, so this is deferral pressure, not a count
+            # of distinct skipped objects
             "deferred_fusions": int(state.stats[6]),
         },
     }

@@ -186,8 +186,8 @@ def test_gt_filter_frustum_and_proximity():
     pm = proximity_mask(corners, pts, threshold=0.1)
     assert pm[0] and not pm[1]
 
-    kept = filter_gt_boxes(corners, K, poses, (64, 64), gt_points=pts)
-    assert kept.shape[0] == 1
+    kept, no_labels = filter_gt_boxes(corners, K, poses, (64, 64), gt_points=pts)
+    assert kept.shape[0] == 1 and no_labels is None
 
 
 def test_checkpoint_roundtrip(tmp_path):

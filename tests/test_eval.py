@@ -308,9 +308,8 @@ def test_eval_cli_real_gt_ap(tmp_path, capsys):
     assert (tmp_path / "out" / "42898867_boxes.pkl").exists()
 
 
-def test_eval_cli_real_gt_missing_file_errors(tmp_path):
+def test_eval_cli_real_gt_missing_file_errors(tmp_path, capsys):
     """--gt with no after_filter_boxes.npy fails with a pointed error."""
-    import pytest
     import yaml
 
     from tests.test_dataprocess import _write_capture
@@ -332,11 +331,13 @@ def test_eval_cli_real_gt_missing_file_errors(tmp_path):
     cfg_path = tmp_path / "cfg.yaml"
     cfg_path.write_text(yaml.safe_dump(raw))
 
-    with pytest.raises(FileNotFoundError, match="gt-filter"):
-        eval_main([
-            "--config", str(cfg_path), "--data-root", str(tmp_path / "slam"),
-            "--dimension", "192", "--gt", "--capacity", "32",
-        ])
+    rc = eval_main([
+        "--config", str(cfg_path), "--data-root", str(tmp_path / "slam"),
+        "--dimension", "192", "--gt", "--capacity", "32",
+    ])
+    assert rc == 1  # clean stderr + exit code, not a traceback
+    err = capsys.readouterr().err
+    assert "filter-gt" in err
 
 
 def test_summarize_adds_per_class_map_when_labeled():

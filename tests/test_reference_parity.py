@@ -10,6 +10,7 @@ compares detections numerically.
 
 Skipped when the reference tree is not mounted.
 """
+import importlib.machinery
 import os
 import sys
 import types
@@ -39,6 +40,12 @@ def _install_reference(monkeypatch=None):
     layers = types.ModuleType("timm.layers")
     layers.Mlp = Mlp
     timm.layers = layers
+    # Real ModuleSpecs: transformers' optional-dependency probe walks
+    # sys.modules and raises ``ValueError: <mod>.__spec__ is None`` on bare
+    # ModuleType stubs, which made the suite order-dependent (any test
+    # importing transformers AFTER _install_reference failed).
+    timm.__spec__ = importlib.machinery.ModuleSpec("timm", loader=None)
+    layers.__spec__ = importlib.machinery.ModuleSpec("timm.layers", loader=None)
     sys.modules.setdefault("timm", timm)
     sys.modules.setdefault("timm.layers", layers)
 
@@ -54,6 +61,10 @@ def _install_reference(monkeypatch=None):
     tvt.Compose = lambda fns: _Noop()
     tvt.Normalize = _Noop
     tv.transforms = tvt
+    tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", loader=None)
+    tvt.__spec__ = importlib.machinery.ModuleSpec(
+        "torchvision.transforms", loader=None
+    )
     sys.modules.setdefault("torchvision", tv)
     sys.modules.setdefault("torchvision.transforms", tvt)
 
@@ -194,7 +205,20 @@ def _assert_detection_set_parity(got, want, atols):
         band = 4.0 * atols["scores"]
         kth = ws.min()
         boundary = (gs[rows[bad]] <= kth + band) & (ws[cols[bad]] <= kth + band)
-        if boundary.all() and bad.sum() <= max(2, n // 16):
+        # ...and each excused got-row must still RESEMBLE some want row
+        # (every field within a loosened 8x band against its best partner):
+        # a swap at the top-k boundary trades near-identical rows, whereas a
+        # systematic divergence produces rows unlike anything on the other
+        # side -- which must keep failing even inside the score band.
+        resembles = np.ones(int(bad.sum()), bool)
+        for bi, r in enumerate(rows[bad]):
+            ok_any = np.ones(n, bool)
+            for k, atol in atols.items():
+                g = np.asarray(got[k], np.float64).reshape(n, -1)
+                w = np.asarray(want[k], np.float64).reshape(n, -1)
+                ok_any &= np.abs(g[r][None] - w).max(-1) <= 8.0 * atol
+            resembles[bi] = ok_any.any()
+        if boundary.all() and resembles.all() and bad.sum() <= max(2, n // 16):
             return
         # dump enough detail that a CI failure is diagnosable without a
         # rerun: for each unmatched got-row, the per-field distance to its
