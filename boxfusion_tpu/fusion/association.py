@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from boxfusion_tpu.geometry.boxes import box_corners
-from boxfusion_tpu.geometry.iou import obb_grid_iou
+from boxfusion_tpu.geometry.iou import MAX_GATED_PAIRS, gated_pair_iou, obb_grid_iou
 from boxfusion_tpu.geometry.projection import (
     project_boxes_to_2d,
     project_corners_to_image,
@@ -32,13 +32,6 @@ from boxfusion_tpu.geometry.projection import (
 
 def _bucket(n: int, quantum: int = 32) -> int:
     return max(quantum, ((n + quantum - 1) // quantum) * quantum)
-
-
-# Keep in lockstep with runtime/device_step.py::StepConfig.max_gated_pairs
-# (default 1024): the host and device engines implement the same
-# gate -> top_k -> pair-IoU budget independently, and the engine-parity
-# tests only hold when the budgets agree.
-MAX_GATED_PAIRS = 1024
 
 
 @partial(jax.jit, static_argnames=("H", "W", "samples"))
@@ -53,39 +46,25 @@ def _keyframe_geometry_jit(
     projections, the new-vs-all OBB IoU rows, and the global-box 2D
     projections for the correspondence pass -- is fused into one jit.
 
-    The IoU rows are computed two-phase: the cheap vertex-containment gate
-    (the reference's check_intersection, instances.py:514-557) runs densely
-    over all (new x all) pairs, then the 25^3 grid-sampled volumetric IoU
-    runs only on the top MAX_GATED_PAIRS gated pairs -- the gate already
-    forces IoU = 0 everywhere else in the reference's own semantics
-    (instances.py:611-613).  Results come back as (pair index, value) lists
-    so the host scatters into its cache (no device scatter).
+    The IoU rows are computed two-phase by the SHARED gate -> top-k ->
+    pair-IoU sequence (geometry/iou.py::gated_pair_iou, one implementation
+    and one budget constant for both engines): the cheap vertex-containment
+    gate (the reference's check_intersection, instances.py:514-557) runs
+    densely over all (new x all) pairs, then the 25^3 grid-sampled
+    volumetric IoU runs only on the top MAX_GATED_PAIRS gated pairs -- the
+    gate already forces IoU = 0 everywhere else in the reference's own
+    semantics (instances.py:611-613).  Results come back as (pair index,
+    value) lists so the host scatters into its cache (no device scatter).
     """
-    from boxfusion_tpu.geometry.iou import obb_intersect_mask
-
     new_corners3d = box_corners(new_t, new_R)
     corners2d = project_corners_to_image(new_corners3d, new_poses, K_depth, H, W)
 
     all_corners3d = box_corners(all_t, all_R)
 
-    gate = jax.vmap(
-        lambda ca, ma: jax.vmap(
-            lambda cb, mb: ma & mb & obb_intersect_mask(ca, cb)
-        )(all_corners3d, mask_all)
-    )(new_corners3d, mask_new)  # (Nn, Na) bool
-
-    flat = gate.reshape(-1)
-    k = min(MAX_GATED_PAIRS, flat.shape[0])
-    _, pair_idx = jax.lax.top_k(flat.astype(jnp.int32), k)
-    na = all_corners3d.shape[0]
-    ia = pair_idx // na
-    ib = pair_idx % na
-
-    def pair_val(i, j, on):
-        return jnp.where(on, obb_grid_iou(new_corners3d[i], all_corners3d[j], samples), 0.0)
-
-    vals = jax.vmap(pair_val)(ia, ib, flat[pair_idx])
-    n_gated = jnp.sum(flat)
+    pair_idx, vals, n_gated = gated_pair_iou(
+        new_corners3d, mask_new, all_corners3d, mask_all,
+        MAX_GATED_PAIRS, samples,
+    )
 
     proj2d = project_boxes_to_2d(all_corners3d, K_depth, cur_pose, H, W)
     return corners2d, pair_idx, vals, n_gated, proj2d

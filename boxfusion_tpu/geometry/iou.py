@@ -30,6 +30,12 @@ _AUG_EDGES = np.array(
 
 GRID_SAMPLES_PER_AXIS = 25
 
+# Budget for `gated_pair_iou`: the single shared gate -> top-k -> pair-IoU
+# sequence both engines consume (host fusion/association.py, device
+# runtime/device_step.py).  One constant so the engines can never
+# desynchronize on which dense scenes get truncated.
+MAX_GATED_PAIRS = 1024
+
 
 def iou_2d(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
     """IoU of one xyxy box against N xyxy boxes (instances.py:643-668)."""
@@ -208,6 +214,59 @@ def obb_grid_iou_pairs(
     n_b = jnp.sum(in_b, axis=(1, 2, 3))
     n_ab = jnp.sum(in_a & in_b, axis=(1, 2, 3))
     return n_ab / (n_a + n_b - n_ab + 1e-6)
+
+
+def gated_pair_iou(
+    corners_q: jnp.ndarray,
+    mask_q: jnp.ndarray,
+    corners_all: jnp.ndarray,
+    mask_all: jnp.ndarray,
+    max_pairs: int = MAX_GATED_PAIRS,
+    samples_per_axis: int = GRID_SAMPLES_PER_AXIS,
+):
+    """(Q x A) gated pairwise OBB IoU under a fixed pair budget.
+
+    The ONE implementation of the reference's obb_iou call-site semantics
+    (instances.py:573-613: containment gate forces IoU = 0, grid IoU
+    otherwise) shared by the host engine (fusion/association.py) and the
+    device engine (runtime/device_step.py): the cheap vertex-containment
+    gate runs densely over all (Q x A) pairs, then the 25^3 lattice IoU runs
+    only on the first `max_pairs` gated pairs (row-major order via top_k on
+    the 0/1 gate).  Gated pairs beyond the budget are scored 0 -- callers
+    surface `n_gated - k` as a truncation counter instead of silently
+    weakening NMS.
+
+    Args:
+      corners_q: (Q, 8, 3) query world corners; mask_q: (Q,) validity.
+      corners_all: (A, 8, 3); mask_all: (A,).
+
+    Returns:
+      (pair_idx (k,) flat row-major indices into Q*A, vals (k,) IoUs,
+      n_gated scalar int32 count of pairs that passed the gate).
+    """
+    A = corners_all.shape[0]
+    gate = jax.vmap(
+        lambda ca, ma: jax.vmap(lambda cb, mb: ma & mb & obb_intersect_mask(ca, cb))(
+            corners_all, mask_all
+        )
+    )(corners_q, mask_q)
+
+    flat = gate.reshape(-1)
+    k = min(max_pairs, flat.shape[0])
+    n_gated = jnp.sum(flat.astype(jnp.int32))
+    _, pair_idx = jax.lax.top_k(flat.astype(jnp.int32), k)
+    ia = pair_idx // A
+    ib = pair_idx % A
+
+    # one fused elementwise lattice over all selected pairs
+    # (obb_grid_iou_pairs): only the (k,) IoUs touch HBM, vs ~1 GB/keyframe
+    # of materialized (k, 25^3, 3) intermediates per-pair.
+    vals = jnp.where(
+        flat[pair_idx],
+        obb_grid_iou_pairs(corners_q[ia], corners_all[ib], samples_per_axis),
+        0.0,
+    )
+    return pair_idx, vals, n_gated
 
 
 def pairwise_obb_iou(

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from boxfusion_tpu.fusion.optimizer import PSTOptConfig, init_opt_params, optimize_boxes
 from boxfusion_tpu.geometry.boxes import box_corners
-from boxfusion_tpu.geometry.iou import iou_2d, obb_grid_iou_pairs, obb_intersect_mask
+from boxfusion_tpu.geometry.iou import MAX_GATED_PAIRS, gated_pair_iou, iou_2d
 from boxfusion_tpu.geometry.projection import (
     project_boxes_to_2d,
     project_corners_to_image,
@@ -72,9 +72,9 @@ class StepConfig:
     translation_gap: float = 0.8
     fusion_use: bool = True
     max_fusions: int = 16
-    # keep in lockstep with fusion/association.py::MAX_GATED_PAIRS (the host
-    # engine's independent copy of the same gate->top_k->pair-IoU budget)
-    max_gated_pairs: int = 1024
+    # the shared gate->top_k->pair-IoU budget (geometry/iou.py::
+    # gated_pair_iou); same default as the host engine's MAX_GATED_PAIRS
+    max_gated_pairs: int = MAX_GATED_PAIRS
     grid_samples: int = 25
     check_valid: bool = False  # drop never-re-observed boxes (box_manager.py:151-166)
     gap: int = 20
@@ -567,7 +567,8 @@ def _compact(state: DeviceState, keep) -> DeviceState:
 # ---------------------------------------------------------------------------
 
 def _gated_iou_rows(corners_q, mask_q, corners_all, mask_all, cfg: StepConfig):
-    """(Q, A) IoU rows: dense containment gate, grid IoU on gated pairs only.
+    """(Q, A) IoU rows via the SHARED gate -> top-k -> pair-IoU sequence
+    (geometry/iou.py::gated_pair_iou -- one implementation for both engines).
 
     Returns (rows, truncated): ``truncated`` counts gated pairs beyond the
     ``max_gated_pairs`` budget whose IoU was therefore NOT computed (their
@@ -575,28 +576,11 @@ def _gated_iou_rows(corners_q, mask_q, corners_all, mask_all, cfg: StepConfig):
     weakening NMS on very dense scenes."""
     Q = corners_q.shape[0]
     A = corners_all.shape[0]
-    gate = jax.vmap(
-        lambda ca, ma: jax.vmap(lambda cb, mb: ma & mb & obb_intersect_mask(ca, cb))(
-            corners_all, mask_all
-        )
-    )(corners_q, mask_q)
-
-    flat = gate.reshape(-1)
-    k = min(cfg.max_gated_pairs, flat.shape[0])
-    truncated = jnp.maximum(jnp.sum(flat.astype(jnp.int32)) - k, 0)
-    _, pair_idx = jax.lax.top_k(flat.astype(jnp.int32), k)
-    ia = pair_idx // A
-    ib = pair_idx % A
-
-    # one fused elementwise lattice over all gated pairs (geometry/iou.py::
-    # obb_grid_iou_pairs): only the (k,) IoUs touch HBM, vs ~1 GB/keyframe of
-    # materialized (k, 25^3, 3) intermediates with the per-pair formulation.
-    vals = jnp.where(
-        flat[pair_idx],
-        obb_grid_iou_pairs(corners_q[ia], corners_all[ib], cfg.grid_samples),
-        0.0,
+    pair_idx, vals, n_gated = gated_pair_iou(
+        corners_q, mask_q, corners_all, mask_all,
+        cfg.max_gated_pairs, cfg.grid_samples,
     )
-
+    truncated = jnp.maximum(n_gated - pair_idx.shape[0], 0)
     rows = jnp.zeros(Q * A, jnp.float32).at[pair_idx].set(vals).reshape(Q, A)
     return rows, truncated
 
