@@ -133,3 +133,54 @@ def test_cli_fused_engine_on_disk_ca1m(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "fused engine:" in out
     assert (tmp_path / "out" / "42898867_boxes.pkl").exists()
+
+
+def test_cli_validate_checkpoint(tmp_path, capsys):
+    """--validate-checkpoint: converts a real .pth, runs one frame, prints
+    activation digests + timing, exits 0 (real-weights readiness; the
+    reference's primary mode loads cutr_rgbd.pth, demo.py:441-446)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from boxfusion_tpu.models.cutr import FrameBatch, make_cutr
+    from boxfusion_tpu.models.cutr.convert import flax_to_torch_template
+
+    model = make_cutr(dimension=192, depth_model=True)
+    batch = FrameBatch(
+        image=jnp.zeros((1, 256, 256, 3)),
+        depth=jnp.zeros((1, 256, 256, 1)),
+        K=jnp.tile(jnp.eye(3)[None] * 100, (1, 1, 1)),
+        image_hw=jnp.array([[200.0, 240.0]]),
+        depth_params=jnp.ones((1, 2)),
+        T_gravity=jnp.tile(jnp.eye(3)[None], (1, 1, 1)),
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    sd = {
+        k: torch.from_numpy(np.asarray(v))
+        for k, v in flax_to_torch_template(params).items()
+    }
+    pth = tmp_path / "cutr_rgbd.pth"
+    torch.save({"model": sd}, pth)
+
+    cfg = _small_cfg(tmp_path)
+    rc = cli.main(
+        ["synthetic", "--config", cfg, "--model-path", str(pth),
+         "--validate-checkpoint"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "CuTR dim=192 depth_model=True" in out
+    assert "CuTR forward:" in out and "ms" in out
+    assert "scores" in out and "sha=" in out
+    assert "[validate] OK" in out
+
+
+def test_cli_validate_checkpoint_missing_file(tmp_path, capsys):
+    cfg = _small_cfg(tmp_path)
+    rc = cli.main(
+        ["synthetic", "--config", cfg, "--model-path",
+         str(tmp_path / "nope.pth"), "--validate-checkpoint"]
+    )
+    assert rc == 1
+    assert "checkpoint not found" in capsys.readouterr().err
