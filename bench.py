@@ -443,6 +443,69 @@ def main() -> None:
 
             print(f"bench: multi-stream secondary skipped: {e}", file=sys.stderr)
 
+    # --- SECONDARY: I/O-inclusive FPS (real dataset path) -------------------
+    # The reference's printed FPS (demo.py:363-366) INCLUDES dataset I/O: its
+    # loop decodes a png/jpg pair from disk for every frame
+    # (capture_stream.py:194-206, 452-460) on the demo thread.  The headline
+    # above streams pre-materialized host arrays, so also measure the figure
+    # the reference actually prints: the same synthetic sequence written to
+    # disk in the CA-1M layout (rgb/*.png + 16-bit depth/*.png +
+    # all_poses.npy + K_depth.txt), streamed back through CA1MDataset --
+    # native C++ libpng decode (native/loader.cc) + threaded Prefetcher --
+    # into the SAME fused pipeline.  Every frame pays disk read + PNG decode
+    # + orientation + resize checks; noise images are PNG's worst case, so
+    # this bounds real-scene decode cost from below.  Guarded like the other
+    # secondaries: a failure here never costs the headline measurement.
+    io_fps = None
+    if on_tpu:
+        try:
+            import os
+            import tempfile
+
+            from boxfusion_tpu.data.readers import CA1MDataset, write_ca1m_sequence
+            from boxfusion_tpu.native import Prefetcher
+
+            io_dir = os.path.join(
+                tempfile.gettempdir(), f"bfio_seq_{S}_{n_frames}"
+            )
+            rgb_dir = os.path.join(io_dir, "rgb")
+            if not (
+                os.path.isdir(rgb_dir)
+                and len(os.listdir(rgb_dir)) == len(frames)
+            ):
+                write_ca1m_sequence(frames, io_dir)
+            cfg_io = _bench_cfg()
+            cfg_io["data"]._data["datadir"] = io_dir
+            cfg_io["data"]._data["start"] = 0
+            # reader size is (w, h): frames are landscape 512x384
+            cfg_io["cam"]._data["H"] = S
+            cfg_io["cam"]._data["W"] = int(0.75 * S)
+            cfg_io["cam"]._data["png_depth_scale"] = 1000.0
+            # same shapes as the headline frames -> the fused program is
+            # already compiled; re-validate on a short warmup then time
+            ds = CA1MDataset(cfg_io)
+            for i, fr in enumerate(ds):
+                if i % gap == 0:
+                    real_pipe.process_keyframe(fr)
+                real_pipe.count += 1
+                if i >= gap:
+                    break
+            real_pipe.flush()
+            jax.block_until_ready(real_pipe.state.n)
+            io_runs = []
+            for _ in range(n_runs):
+                real_pipe.reset()
+                real_pipe.run(
+                    Prefetcher(CA1MDataset(cfg_io), depth=8),
+                    gap=gap, export=False,
+                )
+                io_runs.append(real_pipe.fps)
+            io_fps = float(np.median(io_runs))
+        except Exception as e:  # noqa: BLE001
+            import sys
+
+            print(f"bench: io-inclusive secondary skipped: {e}", file=sys.stderr)
+
     # single end-of-bench export (sanity: the timed runs really kept boxes);
     # safe here because no timing follows the D2H.  Exports the last
     # HEADLINE run's state -- the figures must describe the workload the
@@ -481,6 +544,15 @@ def main() -> None:
                 # cubicle.yaml live-SLAM profile: full detect+label+associate+
                 # fuse EVERY frame (keyframe gap 1)
                 "keyframes_per_s_gap1": round(kf1_fps, 3),
+                # same fused pipeline fed from DISK in the CA-1M layout:
+                # per-frame native-C++ PNG decode + threaded prefetch -- the
+                # figure the reference's own FPS print includes (demo.py:363;
+                # noise images are PNG's decode worst case, so this is a
+                # lower bound on real-scene I/O-inclusive FPS)
+                **(
+                    {"io_inclusive_fps_ca1m_layout": round(io_fps, 3)}
+                    if io_fps is not None else {}
+                ),
                 # no-silent-caps: the HEADLINE profile is sized to NOT
                 # saturate (expected dropped_world_capacity == 0 and
                 # label_overflow == 0 in these stats); the 256-slot/32-crop

@@ -308,6 +308,37 @@ class CA1MDataset(_PosedSequence):
             )
 
 
+def write_ca1m_sequence(frames, outdir: str, depth_scale: float = 1000.0) -> int:
+    """Serialize ``Frame``s to the CA-1M SLAM folder layout.
+
+    The inverse of ``CA1MDataset``: writes ``rgb/<i>.png``, 16-bit
+    ``depth/<i>.png`` (metric depth x ``depth_scale``), ``all_poses.npy``
+    (stacked ``gt_pose``) and ``K_depth.txt`` -- the exact on-disk contract
+    the reference's reader consumes (capture_stream.py:339-350).  Used to
+    round-trip synthetic sequences through the real disk/decode path
+    (bench.py's I/O-inclusive figure) and to materialize captures for the
+    reference CLI.  Returns the number of frames written.
+    """
+    rgb_dir = os.path.join(outdir, "rgb")
+    dep_dir = os.path.join(outdir, "depth")
+    os.makedirs(rgb_dir, exist_ok=True)
+    os.makedirs(dep_dir, exist_ok=True)
+    poses = []
+    n = 0
+    for i, fr in enumerate(frames):
+        Image.fromarray(fr.image).save(
+            os.path.join(rgb_dir, f"{i}.png"), compress_level=1
+        )
+        d16 = np.clip(fr.depth * depth_scale, 0, 65535).astype(np.uint16)
+        Image.fromarray(d16).save(os.path.join(dep_dir, f"{i}.png"))
+        poses.append(fr.gt_pose)
+        if i == 0:
+            np.savetxt(os.path.join(outdir, "K_depth.txt"), fr.K_depth)
+        n += 1
+    np.save(os.path.join(outdir, "all_poses.npy"), np.stack(poses))
+    return n
+
+
 def get_dataset(cfg):
     """Dataset factory (reference tools/utils.py:290-300)."""
     name = str(cfg["dataset"]).lower()

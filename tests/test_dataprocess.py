@@ -348,3 +348,34 @@ def test_ca1m_start_offset_aligns_per_frame_tables(tmp_path):
     np.testing.assert_array_equal(sliced[0].K, full[2].K)
     np.testing.assert_array_equal(sliced[0].depth, full[2].depth)
     assert not np.array_equal(sliced[0].K, full[0].K)  # tables ARE distinct
+
+
+def test_write_ca1m_sequence_roundtrip(tmp_path):
+    """write_ca1m_sequence -> CA1MDataset is lossless (bench.py's
+    I/O-inclusive figure depends on the disk round-trip preserving the
+    synthetic workload: images exact, depth to 16-bit-mm quantization,
+    K and gt_pose exact, orientation passthrough for upright poses)."""
+    from boxfusion_tpu.data.readers import CA1MDataset, write_ca1m_sequence
+    from boxfusion_tpu.data.synthetic import SyntheticSequence
+    from boxfusion_tpu.utils.config import load_config
+
+    seq = SyntheticSequence(n_frames=4, n_boxes=3, image_hw=(48, 64), seed=3)
+    frames = list(seq)
+    out = tmp_path / "42898867"
+    assert write_ca1m_sequence(frames, str(out)) == 4
+
+    cfg = load_config("config/ca1m.yaml")
+    cfg["data"]._data["datadir"] = str(out)
+    cfg["data"]._data["start"] = 0
+    # reader size is (w, h) via (cam.H, cam.W) -- landscape 64x48
+    cfg["cam"]._data["H"] = 64
+    cfg["cam"]._data["W"] = 48
+    cfg["cam"]._data["png_depth_scale"] = 1000.0
+    back = list(CA1MDataset(cfg))
+    assert len(back) == 4
+    for a, b in zip(frames, back):
+        np.testing.assert_array_equal(a.image, b.image)
+        assert a.depth.shape == b.depth.shape
+        np.testing.assert_allclose(a.depth, b.depth, atol=1.01e-3)
+        np.testing.assert_allclose(a.K, b.K, rtol=1e-6)
+        np.testing.assert_allclose(a.gt_pose, b.gt_pose, atol=1e-6)

@@ -190,3 +190,52 @@ def test_fused_pipeline_pinned_to_nondefault_device(cutr):
     world = pipe.run(frames, gap=5)
     assert list(pipe.state.n.devices()) == [dev]
     assert world["stats"]["keyframes"] == 2
+
+
+def test_fused_pipeline_from_disk_via_prefetcher(cutr, tmp_path):
+    """bench.py's I/O-inclusive path: a synthetic sequence serialized to the
+    CA-1M layout, streamed back by CA1MDataset through the threaded
+    Prefetcher into the fused pipeline, produces the SAME world as feeding
+    the materialized read-back frames directly (the prefetch thread and the
+    disk decode must not change any decision)."""
+    from boxfusion_tpu.data.readers import CA1MDataset, write_ca1m_sequence
+    from boxfusion_tpu.native import Prefetcher
+
+    model, params = cutr
+    cfg = _cfg()
+    seq = SyntheticSequence(n_frames=11, n_boxes=4, seed=3)
+    out = tmp_path / "42898867"
+    write_ca1m_sequence(_mm_quantized_frames(seq), str(out))
+
+    cfg["data"]._data["datadir"] = str(out)
+    cfg["data"]._data["start"] = 0
+    h, w = seq.image_hw
+    cfg["cam"]._data["H"] = w
+    cfg["cam"]._data["W"] = h
+    cfg["cam"]._data["png_depth_scale"] = 1000.0
+    ds = CA1MDataset(cfg)
+    frames = list(ds)
+    assert len(frames) == 11
+
+    base = FusedDevicePipeline(
+        cfg, CuTRDetector(model, params), capacity=64, depth_mode="u16"
+    )
+    base_world = base.run(frames, gap=5)
+
+    streamed = FusedDevicePipeline(
+        cfg, CuTRDetector(model, params), capacity=64, depth_mode="u16"
+    )
+    streamed_world = streamed.run(Prefetcher(CA1MDataset(cfg), depth=3), gap=5)
+
+    assert streamed.count == 11
+    bo = np.argsort(base_world["init_id"])
+    so = np.argsort(streamed_world["init_id"])
+    np.testing.assert_array_equal(
+        np.asarray(streamed_world["init_id"])[so],
+        np.asarray(base_world["init_id"])[bo],
+    )
+    np.testing.assert_allclose(
+        np.asarray(streamed_world["xyzlhw"])[so],
+        np.asarray(base_world["xyzlhw"])[bo],
+        atol=1e-6,
+    )
