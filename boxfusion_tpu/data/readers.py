@@ -329,12 +329,19 @@ def write_ca1m_sequence(frames, outdir: str, depth_scale: float = 1000.0) -> int
         Image.fromarray(fr.image).save(
             os.path.join(rgb_dir, f"{i}.png"), compress_level=1
         )
-        d16 = np.clip(fr.depth * depth_scale, 0, 65535).astype(np.uint16)
+        # round-half-up, NaN->0: a plain uint16 cast would truncate (up to a
+        # full depth-scale unit of error) and leave NaNs undefined
+        d = np.nan_to_num(np.asarray(fr.depth, np.float32), nan=0.0)
+        d16 = np.clip(np.floor(d * depth_scale + 0.5), 0, 65535).astype(np.uint16)
         Image.fromarray(d16).save(os.path.join(dep_dir, f"{i}.png"))
         poses.append(fr.gt_pose)
         if i == 0:
             np.savetxt(os.path.join(outdir, "K_depth.txt"), fr.K_depth)
         n += 1
+    if n == 0:
+        raise ValueError(
+            f"write_ca1m_sequence: no frames to write to '{outdir}'"
+        )
     np.save(os.path.join(outdir, "all_poses.npy"), np.stack(poses))
     return n
 

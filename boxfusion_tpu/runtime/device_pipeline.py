@@ -92,6 +92,14 @@ def step_config_from(cfg) -> StepConfig:
         check_valid=bool(bf["check_valid"]),
         gap=int(cfg["data"]["gap"]),
         engine=engine,
+        **(
+            {"max_nms_sweeps": int(cfg["association"]["max_nms_sweeps"])}
+            if "max_nms_sweeps" in cfg["association"] else {}
+        ),
+        **(
+            {"max_nms_records": int(cfg["association"]["max_nms_records"])}
+            if "max_nms_records" in cfg["association"] else {}
+        ),
         opt=PSTOptConfig(
             iters=int(bf["iters"]),
             center_init_size=float(ro["center_init_size"]),
@@ -393,5 +401,12 @@ class DevicePipeline:
                 f"[boxfusion-tpu] WARNING: {st['truncated_gated_pairs']} gated "
                 "IoU pairs exceeded max_gated_pairs and were scored 0; NMS may "
                 "under-merge on very dense scenes (raise StepConfig.max_gated_pairs)."
+            )
+        if st.get("nms_budget_exhausted"):
+            print(
+                f"[boxfusion-tpu] WARNING: {st['nms_budget_exhausted']} unrolled-"
+                "NMS sweep/record budget exhaustions; association decisions may "
+                "diverge from the reference on this sequence (raise "
+                "association.max_nms_sweeps / max_nms_records)."
             )
         return world

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 PAD_ID = np.int32(2**30)  # fusion-list padding (sorts after any real id)
-STATS_WIDTH = 7  # len of DeviceState.stats (see the field's counter list)
+STATS_WIDTH = 8  # len of DeviceState.stats (see the field's counter list)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -64,7 +64,11 @@ class DeviceState:
     # [2] containment-gated IoU pairs truncated by max_gated_pairs,
     # [3] keyframes processed,
     # [4] detections past the CLIP label budget (fused path; left unboosted
-    #     with the background label -- see models/clip/head.py).
+    #     with the background label -- see models/clip/head.py),
+    # [5] fusion-list members dropped past max_views,
+    # [6] eligible fusion slots deferred past max_fusions,
+    # [7] unrolled-NMS sweep/record budget exhaustions (StepConfig.
+    #     max_nms_sweeps / max_nms_records -- device_step.py).
     stats: jnp.ndarray       # (STATS_WIDTH,) int32
 
     def tree_flatten(self):
@@ -144,6 +148,10 @@ def export_world(state: DeviceState, class_list=None) -> Dict[str, np.ndarray]:
             # keyframes adds k, so this is deferral pressure, not a count
             # of distinct skipped objects
             "deferred_fusions": int(state.stats[6]),
+            # unrolled-engine NMS compile budgets hit (unconfirmed Jacobi
+            # fixed point or unreplayed suppression records -- raise
+            # StepConfig.max_nms_sweeps / max_nms_records if ever nonzero)
+            "nms_budget_exhausted": int(state.stats[7]),
         },
     }
     if class_list is not None:

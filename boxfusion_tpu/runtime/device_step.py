@@ -78,6 +78,19 @@ class StepConfig:
     grid_samples: int = 25
     check_valid: bool = False  # drop never-re-observed boxes (box_manager.py:151-166)
     gap: int = 20
+    # Unrolled-engine compile budgets.  The straight-line NMS replay
+    # (_nms_greedy_unrolled) emits one cond-gated body per Jacobi sweep and
+    # per suppression record; bounding the chains by these budgets instead
+    # of the world capacity keeps trace+compile time INDEPENDENT of
+    # capacity (a 2048-slot world would otherwise unroll 2x2048 bodies --
+    # minutes of compile) and shortens the serial dispatch chain at gap=1.
+    # Decisions are identical to the while-loop engine whenever the budgets
+    # cover the scene (sweeps >= greedy dependency depth, records >= boxes
+    # suppressed this keyframe); exhaustion is surfaced in stats[7]
+    # ("nms_budget_exhausted"), never silent.  Real indoor scenes measure
+    # depth < 10 and records < 2x detections; the defaults are far above.
+    max_nms_sweeps: int = 64
+    max_nms_records: int = 256
     # Loop engine: "loops" = lax.while_loop NMS/correspondence (compact HLO,
     # fast compiles -- the right choice on CPU and healthy backends);
     # "unrolled" = straight-line cond-gated replay with IDENTICAL decisions,
@@ -317,9 +330,12 @@ def _nms_greedy_unrolled(state: DeviceState, cfg: StepConfig):
         return new, jnp.any(new != surv)
 
     c = (contested, jnp.bool_(True))
-    for _ in range(G):
+    for _ in range(min(G, cfg.max_nms_sweeps)):
         c = jax.lax.cond(c[1], sweep, lambda a: a, c)
     surv = c[0]
+    # c[1] still True = the last executed sweep changed something, so the
+    # fixed point was not yet CONFIRMED within the budget (stats[7])
+    sweeps_short = c[1].astype(jnp.int32)
 
     suppressed = contested & ~surv
     # suppressor(j) = earliest-pick survivor with M[s, j] (greedy removes j
@@ -357,13 +373,18 @@ def _nms_greedy_unrolled(state: DeviceState, cfg: StepConfig):
         return flist, fcount, fflag, keep, prio, trunc_acc + trunc
 
     c = (state.flist, state.fcount, state.fflag, keep, prio, jnp.int32(0))
-    for _ in range(G):
+    for _ in range(min(G, cfg.max_nms_records)):
         c = jax.lax.cond(jnp.min(c[4]) < big, rec, lambda a: a, c)
-    flist, fcount, fflag, keep, _, trunc_acc = c
+    flist, fcount, fflag, keep, prio_left, trunc_acc = c
+    # records the budget never replayed (their manager bookkeeping is LOST
+    # relative to the reference -- surfaced, never silent)
+    records_short = jnp.sum(prio_left < big).astype(jnp.int32)
 
     state = dataclasses.replace(
         state, flist=flist, fcount=fcount, fflag=fflag,
-        stats=state.stats.at[5].add(trunc_acc),
+        stats=state.stats.at[5].add(trunc_acc).at[7].add(
+            sweeps_short + records_short
+        ),
     )
     return state, keep, success
 

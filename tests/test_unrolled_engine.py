@@ -131,6 +131,29 @@ def test_unrolled_optimizer_matches_loop():
     np.testing.assert_allclose(outs[False][0], outs[True][0], atol=1e-6, rtol=0)
 
 
+def test_nms_budget_exhaustion_surfaces():
+    """The unrolled engine's sweep/record chains are bounded by
+    StepConfig.max_nms_sweeps/max_nms_records (compile-size independent of
+    world capacity).  Starving the record budget on a contention-heavy load
+    must SURFACE in stats (no-silent-caps), and the default budgets must
+    never fire on the same load (their chains cover the scene, so decisions
+    stay identical -- the parity tests above run under the defaults)."""
+    seq = SyntheticSequence(n_frames=10, n_boxes=5, seed=2)
+
+    def run_with(sweeps, records):
+        cfg = _cfg("unrolled")
+        cfg["association"]._data["max_nms_sweeps"] = sweeps
+        cfg["association"]._data["max_nms_records"] = records
+        pipe = DevicePipeline(
+            cfg, OracleDetector(seq, noise=0.02, seed=3), capacity=48
+        )
+        world = pipe.run(seq, gap=5)
+        return world["stats"]["nms_budget_exhausted"]
+
+    assert run_with(64, 1) > 0        # starved record chain -> surfaced
+    assert run_with(64, 256) == 0     # defaults cover the scene
+
+
 def test_auto_engine_resolves_loops_on_cpu():
     from boxfusion_tpu.runtime.device_pipeline import resolve_engine, step_config_from
 
