@@ -89,7 +89,6 @@ class CuTRConfig:
     level_strides: Tuple[int, ...] = (16, 32, 64)
     min_proposal_size: float = 50.0
     max_query_embeds: int = 1200
-    use_pallas_attention: bool = False
     # Compute dtype for the matmul-heavy paths (backbone, decoder, head
     # MLPs); params, coordinate decoding, softmax and norm statistics stay
     # float32.  bfloat16 is MXU-native on TPU (~2x forward throughput).
@@ -186,7 +185,6 @@ class CubifyTransformer(nn.Module):
             layer_scale=not cfg.depth_model,
             encoder_norm=not cfg.depth_model,
             pretrain_img_size=512 if not cfg.depth_model else 224,
-            use_pallas=cfg.use_pallas_attention,
             dtype=dt,
             name="vit",
         )

@@ -88,13 +88,12 @@ class JointAttention(nn.Module):
     RGB-query block and the depth-query block (matching the reference's
     split-after-matmul).
 
-    Global (non-window, RGB-only) blocks route through the Pallas
-    tiled-attention kernel (boxfusion_tpu/ops/attention.py) when enabled --
-    the score matrix never leaves VMEM.
+    Global (non-window, RGB-only) blocks use XLA's fused attention, which
+    measured 23x faster than a VMEM-resident Pallas kernel at CuTR token
+    counts (N <= 4096; ablation record: tools/pallas_attention_ablation.py).
     """
 
     num_heads: int
-    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -121,17 +120,6 @@ class JointAttention(nn.Module):
             return jnp.einsum("bhqk,bkhc->bqhc", a, vh)
 
         q, k, v = split_qkv(x.reshape(B, H * W, C), H * W)
-
-        if depth is None and self.use_pallas and H * W >= 256 and self.dtype == jnp.float32:
-            from boxfusion_tpu.ops.attention import tiled_attention
-
-            def fold(t):  # (B, N, heads, hd) -> (B*heads, N, hd)
-                return t.transpose(0, 2, 1, 3).reshape(B * self.num_heads, H * W, hd)
-
-            o = tiled_attention(fold(q), fold(k), fold(v))
-            o = o.reshape(B, self.num_heads, H * W, hd).transpose(0, 2, 1, 3)
-            out = proj(o.reshape(B, H, W, C))
-            return out, None
 
         if depth is not None:
             _, Hd, Wd, _ = depth.shape
@@ -172,7 +160,6 @@ class Block(nn.Module):
     window_size: int = 0
     depth_modality: bool = False
     layer_scale: bool = False
-    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -182,7 +169,7 @@ class Block(nn.Module):
         norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")
         mlp = Mlp(int(dim * self.mlp_ratio), dtype=self.dtype, name="mlp")
         attn = JointAttention(
-            self.num_heads, use_pallas=self.use_pallas, dtype=self.dtype, name="attn"
+            self.num_heads, dtype=self.dtype, name="attn"
         )
         if self.layer_scale:
             ls1 = self.param("ls1_gamma", nn.initializers.ones, (dim,))
@@ -256,7 +243,6 @@ class ViT(nn.Module):
     pretrain_img_size: int = 224
     pretrain_use_cls_token: bool = True
     patch: int = 16
-    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -296,7 +282,6 @@ class ViT(nn.Module):
                 # (vit.py:466, cubify_transformer.py:1254-1264).
                 depth_modality=self.depth_modality and is_window,
                 layer_scale=self.layer_scale,
-                use_pallas=self.use_pallas and not is_window,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )

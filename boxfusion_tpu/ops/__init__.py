@@ -1,3 +1,3 @@
-from boxfusion_tpu.ops.attention import tiled_attention
+from boxfusion_tpu.ops.fitness_kernel import fitness_cells_pallas
 
-__all__ = ["tiled_attention"]
+__all__ = ["fitness_cells_pallas"]

@@ -366,11 +366,13 @@ class BatchedPipeline:
         """
         import time
 
+        from boxfusion_tpu.runtime.stream import iter_with_last
+
         gap = int(self.cfg["data"]["gap"]) if gap is None else gap
         if len(sequences) > self.n_lanes:
             raise ValueError(f"{len(sequences)} sequences > {self.n_lanes} lanes")
         self.n_run = len(sequences)
-        iters: List[Optional[object]] = [iter(s) for s in sequences]
+        iters: List[Optional[object]] = [iter_with_last(s) for s in sequences]
         iters += [None] * (self.n_lanes - len(iters))  # spare lanes inactive
         counts = [0] * self.n_lanes
         start = time.time()
@@ -382,17 +384,20 @@ class BatchedPipeline:
                 if it is None:
                     continue
                 advanced = False
-                # advance lane i to its next keyframe (gap frames)
+                # advance lane i to its next keyframe (gap frames; the final
+                # frame is always a keyframe, reference demo.py:200)
                 while True:
                     try:
-                        f = next(it)
+                        f, is_last = next(it)
                     except StopIteration:
                         iters[i] = None
                         break
                     advanced = True
-                    if counts[i] % gap == 0:
+                    if counts[i] % gap == 0 or is_last:
                         round_frames[i] = f
                         counts[i] += 1
+                        if is_last:
+                            iters[i] = None
                         break
                     counts[i] += 1
                 alive = alive or advanced

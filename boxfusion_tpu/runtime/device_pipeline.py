@@ -363,10 +363,14 @@ class DevicePipeline:
         flips the tunneled backend into its ~30x-degraded dispatch mode
         (docs/TUNNEL_PERF_NOTES.md), so timed runs must stay D2H-free and
         export once at the very end.  ``block_until_ready`` is safe."""
+        from boxfusion_tpu.runtime.stream import iter_with_last
+
         gap = int(self.cfg["data"]["gap"]) if gap is None else gap
         start = time.time()
-        for frame in dataset:
-            if self.count % gap == 0:
+        # last frame is always a keyframe (reference demo.py:200:
+        # ``count % gap == 0 or count == len(dataset)-1``)
+        for frame, is_last in iter_with_last(dataset):
+            if self.count % gap == 0 or is_last:
                 self.process_keyframe(frame)
             self.count += 1
         self.flush()

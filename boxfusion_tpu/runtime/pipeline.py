@@ -442,12 +442,16 @@ class OnlinePipeline:
         Returns the final WorldState; prints the end-to-end FPS like the
         reference (demo.py:363-366).
         """
+        from boxfusion_tpu.runtime.stream import iter_with_last
+
         gap = int(self.cfg["data"]["gap"]) if gap is None else gap
         start = time.time()
-        for frame in dataset:
+        # last frame is always a keyframe (reference demo.py:200:
+        # ``count % gap == 0 or count == len(dataset)-1``)
+        for frame, is_last in iter_with_last(dataset):
             if on_frame is not None:
                 on_frame(frame)
-            if self.count % gap == 0:
+            if self.count % gap == 0 or is_last:
                 self.process_keyframe(frame)
                 if on_keyframe is not None:
                     on_keyframe(self.world)

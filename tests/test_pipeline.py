@@ -40,6 +40,36 @@ def cfg():
     return c
 
 
+def test_iter_with_last():
+    from boxfusion_tpu.runtime.stream import iter_with_last
+
+    assert list(iter_with_last([])) == []
+    assert list(iter_with_last([7])) == [(7, True)]
+    assert list(iter_with_last(iter("abc"))) == [
+        ("a", False), ("b", False), ("c", True)
+    ]
+
+
+def test_last_frame_is_keyframe(cfg):
+    """demo.py:200: the final frame always detects/associates, even when its
+    index is not a gap multiple -- on 8 frames at gap 3 the keyframes are
+    {0, 3, 6, 7}; on 7 frames (last index IS a multiple) they are {0, 3, 6}
+    with no double-processing."""
+    for n_frames, expect in ((8, [0, 3, 6, 7]), (7, [0, 3, 6])):
+        seq = SyntheticSequence(n_frames=n_frames, n_boxes=3, seed=0)
+        pipe = OnlinePipeline(cfg, OracleDetector(seq, noise=0.0))
+        seen = []
+        orig = pipe.process_keyframe
+
+        def spy(frame, _orig=orig, _pipe=pipe, _seen=seen):
+            _seen.append(_pipe.count)
+            return _orig(frame)
+
+        pipe.process_keyframe = spy
+        pipe.run(seq, gap=3)
+        assert seen == expect, (n_frames, seen)
+
+
 def test_pipeline_oracle_noiseless(cfg):
     seq = SyntheticSequence(n_frames=30, n_boxes=5, seed=0)
     det = OracleDetector(seq, noise=0.0)
@@ -102,7 +132,8 @@ def test_pipeline_frame_and_keyframe_hooks(cfg):
         on_keyframe=lambda w: keyframes.append(len(w)),
     )
     assert len(frames) == 15
-    assert len(keyframes) == 3
+    # 0, 5, 10 + the always-keyframe final frame 14 (demo.py:200)
+    assert len(keyframes) == 4
     assert keyframes[-1] == 3
 
 

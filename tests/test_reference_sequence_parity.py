@@ -17,9 +17,11 @@ our engines, and the kept world boxes, valid_num counters, and fusion
 lists are asserted identical.
 
 Known (documented, PARITY.md) deviations that this test is insensitive to
-by construction: tie-order (the oracle emits tie-free scores), the final
-non-keyframe re-association (we drive true keyframes only), and fusion-
-flag index drift (fusion is off).
+by construction: tie-order (the oracle emits tie-free scores) and fusion-
+flag index drift (fusion is off).  The last-frame-is-a-keyframe rule
+(demo.py:200) IS exercised: both fixtures end on a frame index that is not
+a gap multiple, so the reference runner and our engines each process the
+final extra keyframe.
 """
 import os
 import sys
@@ -67,7 +69,7 @@ def _plain_cfg(cfg):
 
 
 def _reference_run(frames, detector, cfg, gap, fuser_factory=None,
-                   manager_hook=None):
+                   manager_hook=None, check_valid=False):
     """demo.py:200-330 keyframe control flow over the reference classes.
 
     Only the association stack is the reference's code; the surrounding
@@ -100,7 +102,8 @@ def _reference_run(frames, detector, cfg, gap, fuser_factory=None,
     small_threshold = float(cfg["association"]["small_threshold"])
 
     for count, frame in enumerate(frames):
-        if count % gap != 0:
+        # demo.py:200: the final frame is always a keyframe
+        if count % gap != 0 and count != len(frames) - 1:
             continue
         h, w = frame.image.shape[:2]
         if fuser_factory is not None and fuser is None:
@@ -178,6 +181,14 @@ def _reference_run(frames, detector, cfg, gap, fuser_factory=None,
                 W=w,
             )
             box_manager.update(keep_idx)
+            if check_valid:
+                # demo.py:297-298: drop never-re-observed boxes older than
+                # one keyframe gap.  ``all_poses`` is deliberately NOT
+                # refiltered -- the reference leaves it stale (it is never
+                # read for association decisions).
+                all_pred_box = box_manager.check_valid_num(
+                    all_pred_box, count, gap
+                )
             if fuser is not None:
                 # demo.py:304-305 -- the reference's own boxfusion() loop
                 # (init_opt_params / cal_transform / update_PST / EMA / stop)
@@ -391,6 +402,127 @@ def test_merge_heavy_reference_vs_host(merge_heavy_runs):
     ours = {
         int(i): sorted(int(x) for x in fl)
         for i, fl in zip(host_world.arrays["init_id"], host.manager.fusion_list)
+    }
+    assert ours == ref["fusion_lists"]
+
+
+# ---------------------------------------------------------------------------
+# check_valid parity (VERDICT r3 item 4): the never-re-observed drop
+# (demo.py:297-298, box_manager.py:151-166) was implemented in every engine
+# but never reference-driven.  Spurious one-off detections are injected so
+# the drop has prey; decisions must match the reference exactly.
+# ---------------------------------------------------------------------------
+
+
+class _SpuriousDetector:
+    """Oracle detections plus, on every second keyframe, one far-away
+    camera-frame box at a unique world position -- never re-observed, so
+    valid_num stays 0 and check_valid must drop it once it ages past gap."""
+
+    def __init__(self, seq, noise, seed):
+        from boxfusion_tpu.data.synthetic import OracleDetector as _OD
+
+        self.oracle = _OD(seq, noise=noise, seed=seed)
+        self.calls = 0
+
+    def __call__(self, frame):
+        det = self.oracle(frame)
+        k, self.calls = self.calls, self.calls + 1
+        if k % 2 != 0:
+            return det
+        # unique world-frame center well away from the GT cluster (|xy|<1.3)
+        cw = np.array([4.0 + 0.9 * k, 3.0, 1.0], np.float32)
+        P = frame.gt_pose
+        cc = (cw - P[:3, 3]) @ P[:3, :3]  # world -> camera
+        dims = np.array([0.8, 0.7, 0.9], np.float32)  # NOT small: skips corr
+        K = frame.K
+        u = K[0, 0] * cc[0] / max(cc[2], 1e-6) + K[0, 2]
+        v = K[1, 1] * cc[1] / max(cc[2], 1e-6) + K[1, 2]
+        out = {}
+        extra = dict(
+            scores=np.float32(0.55 + 0.003 * k),
+            pred_classes=np.int64(0),
+            pred_boxes=np.array([u - 9, v - 9, u + 9, v + 9], np.float32),
+            pred_logits=np.zeros(2, np.float32),
+            boxes3d=np.concatenate([cc, dims]).astype(np.float32),
+            R=np.eye(3, dtype=np.float32),
+            proj_xy=np.array([u, v], np.float32),
+            object_desc=np.zeros_like(det["object_desc"][0])
+            if len(det["object_desc"]) else np.zeros(256, np.float32),
+        )
+        for key, val in det.items():
+            out[key] = np.concatenate([val, np.asarray(extra[key])[None]], 0)
+        return out
+
+
+@pytest.fixture(scope="module")
+def check_valid_runs():
+    cfg = _cfg()
+    cfg["box_fusion"]._data["check_valid"] = True
+    gap = 20
+    seq = SyntheticSequence(n_frames=150, n_boxes=8, image_hw=(192, 256), seed=0)
+    frames = list(seq)
+
+    ref = _reference_run(
+        frames, _SpuriousDetector(seq, 0.03, 1), cfg, gap, check_valid=True
+    )
+    # twin reference run WITHOUT the drop: proves the spurious boxes would
+    # otherwise survive (the scenario has prey)
+    cfg_off = _cfg()
+    ref_off = _reference_run(
+        frames, _SpuriousDetector(seq, 0.03, 1), cfg_off, gap, check_valid=False
+    )
+
+    host = OnlinePipeline(cfg, _SpuriousDetector(seq, 0.03, 1))
+    host_world = host.run(frames, gap=gap)
+
+    dev = DevicePipeline(cfg, _SpuriousDetector(seq, 0.03, 1), capacity=64)
+    dev_world = dev.run(frames, gap=gap)
+    return ref, ref_off, host, host_world, dev_world
+
+
+def test_check_valid_scenario_coverage(check_valid_runs):
+    ref, ref_off, *_ = check_valid_runs
+    dropped = len(ref_off["init_id"]) - len(ref["init_id"])
+    assert dropped >= 2, f"check_valid dropped only {dropped} boxes -- no prey"
+
+
+def test_check_valid_reference_vs_host(check_valid_runs):
+    ref, _, host, host_world, _ = check_valid_runs
+    np.testing.assert_array_equal(
+        np.sort(ref["init_id"]), np.sort(host_world.arrays["init_id"])
+    )
+    o_r = np.argsort(ref["init_id"])
+    o_h = np.argsort(host_world.arrays["init_id"])
+    np.testing.assert_allclose(
+        ref["xyzlhw"][o_r], host_world.arrays["xyzlhw"][o_h], atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        ref["valid_num"][o_r], host_world.arrays["valid_num"][o_h]
+    )
+    ours = {
+        int(i): sorted(int(x) for x in fl)
+        for i, fl in zip(host_world.arrays["init_id"], host.manager.fusion_list)
+    }
+    assert ours == ref["fusion_lists"]
+
+
+def test_check_valid_reference_vs_device(check_valid_runs):
+    ref, _, _, _, dev_world = check_valid_runs
+    np.testing.assert_array_equal(
+        np.sort(ref["init_id"]), np.sort(dev_world["init_id"])
+    )
+    o_r = np.argsort(ref["init_id"])
+    o_d = np.argsort(dev_world["init_id"])
+    np.testing.assert_allclose(
+        ref["xyzlhw"][o_r], dev_world["xyzlhw"][o_d], atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        ref["valid_num"][o_r], dev_world["valid_num"][o_d]
+    )
+    ours = {
+        int(i): sorted(int(x) for x in fl)
+        for i, fl in zip(dev_world["init_id"], dev_world["fusion_list"])
     }
     assert ours == ref["fusion_lists"]
 

@@ -18,9 +18,17 @@ MEASURED STATUS (v5e, CuTR-768 @ 512px, f32 inputs): XLA's fused attention
 (default MXU precision, bf16 inputs / f32 accum) runs the full model at
 0.32 ms/frame vs 7.5 ms with this kernel engaged -- at N <= 4096 the score
 matrix never leaves the fusion XLA already builds, and this kernel pays
-full-f32 MXU + 64-lane underutilization.  It is therefore OFF by default
-(CuTRConfig.use_pallas_attention=False) and kept as the starting point for
-a bf16, head-packed variant targeting larger feature maps.
+full-f32 MXU + 64-lane underutilization.
+
+DECISION (round 4): demoted from the product package (was
+boxfusion_tpu/ops/attention.py behind CuTRConfig.use_pallas_attention) to
+this ablation record.  At CuTR's largest input bucket (1024px -> N = 4096,
+head_dim 64) the per-head score tile still fits the fusion XLA builds, so
+even a bf16 head-packed rewrite would be racing a fully-fused op it cannot
+beat on memory traffic; flash-style kernels only pay off once the score
+matrix spills (N >> 4096), which no reference workload reaches
+(vit.py:482 caps inputs at 1024px).  Parity vs plain XLA attention stays
+covered by tests/test_ops.py (interpret mode).
 """
 from __future__ import annotations
 
