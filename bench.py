@@ -854,14 +854,21 @@ def main() -> None:
         _log("multistream: skipped (deadline)")
 
     # like-for-like CPU reference comparison, when the black-box CLI parity
-    # suite has produced it (tests/test_reference_cli_blackbox.py runs the
-    # reference's own demo.py and our cli.py on the same on-disk sequence
-    # and host and records both printed FPS) -- the only measured-vs-measured
-    # reference ratio available (the reference publishes no numbers,
-    # BASELINE.md)
+    # record exists (tools/run_blackbox_parity.py runs the reference's own
+    # demo.py and our cli.py on the same on-disk sequence and host and
+    # records both printed FPS) -- the only measured-vs-measured reference
+    # ratio available (the reference publishes no numbers, BASELINE.md)
     try:
         with open(os.path.join(_HERE, "REF_CPU_PARITY.json")) as f:
-            result["ref_cpu_parity"] = json.load(f)
+            rec = json.load(f)
+        result["vs_reference_cpu"] = rec.get("vs_reference_cpu")
+        result["ref_cpu_parity"] = {
+            "fps": rec.get("fps"),
+            "vs_reference_cpu_host_engine":
+                rec.get("vs_reference_cpu_host_engine"),
+            "world_exact_frac": rec.get("world", {}).get("exact_frac"),
+            "deterministic_regime": rec.get("deterministic_regime"),
+        }
     except (OSError, ValueError):
         pass
 

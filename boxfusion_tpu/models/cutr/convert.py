@@ -258,10 +258,22 @@ def flax_to_torch_template(params: Dict) -> Dict[str, np.ndarray]:
         lin(ep + f".predictors.1.mlp.layers.{j}", enc["delta_box_predictor"]["mlp"][f"layers_{j}"])
     sd[ep + ".query_embed.weight"] = np.asarray(p["query_embed"])
     sd["prompting.prompters.0.query_embed.weight"] = np.asarray(p["metric_query_embed"])
-    for n in ("x", "y", "w", "h"):
-        sd[f"prompting.encoders.box_2d_encoder.{n}.weight"] = np.asarray(
-            p["box_2d_encoder"][n]["embedding"]
-        )
+    # the torch prompt encoder is ONE shared module whose tensors the state
+    # dict repeats under prompting.encoders AND both prompter paths
+    # (cubify_transformer.py:1014 ``prompter.encoders = self.encoders``); a
+    # strict load_state_dict needs every alias, plus the constant
+    # min/max clamp buffers (cubify_transformer.py:370-371)
+    for prefix in (
+        "prompting.encoders.box_2d_encoder",
+        "prompting.prompters.0.encoders.box_2d_encoder",
+        "prompting.prompters.1.encoders.box_2d_encoder",
+    ):
+        for n in ("x", "y", "w", "h"):
+            sd[f"{prefix}.{n}.weight"] = np.asarray(
+                p["box_2d_encoder"][n]["embedding"]
+            )
+        sd[f"{prefix}.min_bounds"] = np.zeros(4, np.float32)
+        sd[f"{prefix}.max_bounds"] = np.full(4, 1280.0 - 1.0, np.float32)
     norm("decoder.norm", p["decoder_norm"])
 
     i = 0

@@ -54,7 +54,9 @@ def test_1k_boxes_faithful_when_capacity_suffices():
     dev_world = dev.run(frames, gap=5)
 
     st = dev_world["stats"]
-    assert st["keyframes"] == 3
+    # gap multiples 0/5/10 plus the reference's last-frame rule (frame 14;
+    # reference demo.py:200)
+    assert st["keyframes"] == 4
     assert st["dropped_world_capacity"] == 0
     assert st["dropped_obs_capacity"] == 0
     # the faithfulness comparison below is only meaningful when the gated

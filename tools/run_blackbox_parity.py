@@ -1,0 +1,180 @@
+"""Produce REF_CPU_PARITY.json: same-host black-box CLI parity + FPS record.
+
+Runs the REFERENCE's own ``demo.py`` (CPU, stubs from tests/blackbox_harness)
+and our ``boxfusion_tpu.cli`` on one synthetic CA-1M-layout sequence with
+one shared checkpoint, compares the eval pickles, measures both sides'
+printed FPS (demo.py:363-366), and writes the record bench.py merges into
+its JSON line (``vs_reference_cpu``).
+
+Two checkpoint regimes:
+  * default: seeded random weights -- fast; parity is statistical (near-tie
+    top-k selections legitimately differ across implementations; see
+    tests/test_reference_blackbox_cli.py docstring).
+  * ``--trained``: overfit a checkpoint on the scene with the product
+    trainer (train/__main__.py --data-root) so score margins >> float noise
+    and the comparison is deterministic.  Slow on CPU (~20 s/step); the
+    result is recorded once and committed.
+
+Both sides are run twice; the second (warm) run's FPS is reported as the
+steady figure -- torch has no compile step, ours amortizes jit tracing via
+the persistent compilation cache, so warm-vs-warm is the honest
+same-protocol comparison of the reference's only perf surface.
+
+Usage:
+  python tools/run_blackbox_parity.py [--trained] [--steps 350]
+      [--workdir /tmp/blackbox_parity] [--out REF_CPU_PARITY.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+GAP = 7
+N_FRAMES = 36
+HW = (192, 256)
+SEQ = "42898867"
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--trained", action="store_true",
+                    help="train a checkpoint on the scene (deterministic "
+                         "parity regime); otherwise seeded random weights")
+    ap.add_argument("--steps", type=int, default=350)
+    ap.add_argument("--dim", type=int, default=192,
+                    help="ViT width for --trained (192 is the smallest the "
+                         "head table supports, models/cutr/vit.py)")
+    ap.add_argument("--workdir", default="/tmp/blackbox_parity")
+    ap.add_argument("--out", default=os.path.join(REPO, "REF_CPU_PARITY.json"))
+    ap.add_argument("--keep", action="store_true",
+                    help="reuse an existing workdir (incl. trained ckpt)")
+    args = ap.parse_args(argv)
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    # warm runs hit the persistent XLA cache instead of recompiling
+    cache = os.path.join(args.workdir, "jaxcache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    from tests import blackbox_harness as bh
+
+    if not args.keep and os.path.isdir(args.workdir):
+        shutil.rmtree(args.workdir)
+    os.makedirs(args.workdir, exist_ok=True)
+    root = args.workdir
+    seqdir = os.path.join(root, SEQ)
+    if not os.path.isdir(seqdir):
+        bh.write_scene(seqdir, n_frames=N_FRAMES, image_hw=HW)
+    class_txt, class_pt = bh.write_class_assets(root)
+
+    if args.trained:
+        ckpt = os.path.join(root, "cutr_trained.pth")
+        our_cfg_train = bh.write_config(
+            os.path.join(root, "train.yaml"), datadir=seqdir,
+            output_dir=os.path.join(root, "unused"), gap=GAP, image_hw=HW,
+        )
+        if not os.path.exists(ckpt):
+            t0 = time.time()
+            bh.build_trained_checkpoint(
+                ckpt, seqdir, our_cfg_train, steps=args.steps, dim=args.dim
+            )
+            print(f"[tool] trained {args.steps} steps in {time.time()-t0:.0f}s",
+                  file=sys.stderr)
+    else:
+        ckpt = bh.build_reference_checkpoint(os.path.join(root, "cutr_rand.pth"))
+
+    # three pipelines on one scene: the reference entry point, our
+    # reference-shaped host engine, and our product fast path (fused)
+    results = {}
+    fps = {}
+    for side in ("ref", "ours", "ours_fused"):
+        out_dir = os.path.join(root, f"{side}_out")
+        for run in ("cold", "warm"):
+            if os.path.isdir(out_dir):
+                shutil.rmtree(out_dir)
+            os.makedirs(out_dir)
+            if side == "ref":
+                cfg = bh.write_config(
+                    os.path.join(root, "ref.yaml"),
+                    datadir=os.path.join(root, "_base/"),
+                    output_dir=out_dir, gap=GAP, image_hw=HW,
+                )
+                r = bh.run_reference_demo(cfg, SEQ, ckpt, class_txt, class_pt)
+            else:
+                cfg = bh.write_config(
+                    os.path.join(root, f"{side}.yaml"),
+                    datadir=seqdir, output_dir=out_dir, gap=GAP, image_hw=HW,
+                )
+                if side == "ours":
+                    extra = ("--class_txt", class_txt)
+                    r = bh.run_our_cli(cfg, seqdir, ckpt, engine="host",
+                                       extra=extra)
+                else:
+                    r = bh.run_our_cli(cfg, seqdir, ckpt, engine="fused",
+                                       extra=("--capacity", "256"))
+            fps[f"{side}_{run}"] = r["fps"]
+            print(f"[tool] {side} {run}: {r['fps']} fps", file=sys.stderr)
+        results[side] = out_dir
+
+    world_ref = bh.load_corner_pickle(os.path.join(results["ref"], f"{SEQ}_boxes.pkl"))
+    world_our = bh.load_corner_pickle(os.path.join(results["ours"], f"{SEQ}_boxes.pkl"))
+    world_fused = bh.load_corner_pickle(
+        os.path.join(results["ours_fused"], f"{SEQ}_boxes.pkl"))
+    fw_ref = bh.load_corner_pickle(os.path.join(results["ref"], "framewise_boxes.pkl"))
+    fw_our = bh.load_corner_pickle(os.path.join(results["ours"], "framewise_boxes.pkl"))
+
+    record = {
+        "protocol": {
+            "scene": {"frames": N_FRAMES, "gap": GAP, "image_hw": list(HW),
+                      "seq": SEQ},
+            "checkpoint": ("trained(%d steps, dim %d)" % (args.steps, args.dim))
+                          if args.trained else "seeded-random(dim 192)",
+            "reference_entry": "/root/reference/demo.py (CPU, IO/viz stubs)",
+            "ours_entry": "boxfusion_tpu.cli --engine host|fused (CPU)",
+            "fps_source": "each side's own 'Average FPS' print "
+                          "(reference demo.py:363-366)",
+        },
+        "fps": fps,
+        # headline: the product fast path (one jitted program per keyframe)
+        # vs the reference entry point, warm-vs-warm on the same host
+        "vs_reference_cpu": (fps["ours_fused_warm"] / fps["ref_warm"])
+                            if fps.get("ref_warm") else None,
+        "vs_reference_cpu_host_engine": (fps["ours_warm"] / fps["ref_warm"])
+                                        if fps.get("ref_warm") else None,
+        "world": bounded(world_ref, world_our),
+        "world_fused_engine": bounded(world_ref, world_fused),
+        "framewise": bounded(fw_ref, fw_our),
+        "deterministic_regime": bool(args.trained),
+    }
+    if args.trained:
+        try:
+            pairs, err = bh.match_corner_sets(world_ref, world_our)
+            record["world"]["exact_match"] = {"pairs": len(pairs),
+                                              "max_corner_err": err}
+        except AssertionError as e:
+            record["world"]["exact_match"] = {"failed": str(e)[:500]}
+
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=2)
+    print(json.dumps(record, indent=2))
+    return 0
+
+
+def bounded(a, b):
+    from tests.blackbox_harness import bounded_match_stats
+
+    return bounded_match_stats(a, b)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
