@@ -52,6 +52,12 @@ def build_argparser() -> argparse.ArgumentParser:
         "overflow drops lowest-priority detections, counted in stats)",
     )
     p.add_argument(
+        "--chunk", default=1, type=int,
+        help="fused engine: scan N consecutive keyframes per dispatch "
+        "(identical decisions, ~Nx lower dispatch cost at gap=1, N "
+        "keyframes of result latency; 1 = lowest-latency live mode)",
+    )
+    p.add_argument(
         "--save-state", default=None, metavar="PATH",
         help="device/fused engines: snapshot the full pipeline state after "
         "the run (resume a partially-streamed sequence with --restore-state)",
@@ -201,6 +207,7 @@ def main(argv=None) -> int:
                 pipe = FusedDevicePipeline(
                     cfg, detector, labeler=labeler, capacity=args.capacity,
                     depth_scale=float(cfg["cam"]["png_depth_scale"]),
+                    chunk=args.chunk,
                 )
         else:
             from boxfusion_tpu.runtime.device_pipeline import DevicePipeline

@@ -239,3 +239,48 @@ def test_fused_pipeline_from_disk_via_prefetcher(cutr, tmp_path):
         np.asarray(base_world["xyzlhw"])[bo],
         atol=1e-6,
     )
+
+
+def test_chunked_matches_per_frame_dispatch(cutr):
+    """chunk>1 (one lax.scan dispatch per group of keyframes,
+    make_fused_chunk_fn) must make bit-identical decisions to chunk=1 --
+    state chains inside the scan in frame order.  gap=1 with a frame count
+    that leaves a partial tail group exercises grouping, the scan program,
+    AND the partial-chunk flush path."""
+    model, params = cutr
+    cfg = _cfg()
+    seq = SyntheticSequence(n_frames=8, n_boxes=4, seed=5)
+    frames = _mm_quantized_frames(seq)
+
+    base = FusedDevicePipeline(
+        cfg, CuTRDetector(model, params), capacity=64, depth_mode="u16"
+    )
+    base_world = base.run(frames, gap=1)
+
+    chunked = FusedDevicePipeline(
+        cfg, CuTRDetector(model, params), capacity=64, depth_mode="u16",
+        chunk=3,
+    )
+    chunked_world = chunked.run(frames, gap=1)
+
+    assert len(chunked_world["scores"]) == len(base_world["scores"])
+    co = np.argsort(chunked_world["init_id"])
+    bo = np.argsort(base_world["init_id"])
+    np.testing.assert_array_equal(
+        np.asarray(chunked_world["init_id"])[co],
+        np.asarray(base_world["init_id"])[bo],
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked_world["xyzlhw"])[co],
+        np.asarray(base_world["xyzlhw"])[bo],
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked_world["scores"])[co],
+        np.asarray(base_world["scores"])[bo],
+        atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(chunked_world["stats"]["keyframes"]),
+        np.asarray(base_world["stats"]["keyframes"]),
+    )
