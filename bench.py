@@ -493,11 +493,14 @@ def phase_headline(out_path: str, budget_s: float) -> None:
     _write_json(out_path, result)
     _log(f"headline: gap=1 {result['keyframes_per_s_gap1']:.1f} keyframes/s")
 
-    # gap=1 throughput mode: chunk=8 scans 8 keyframes per dispatch
+    # chunk=8 throughput mode: scan 8 keyframes per dispatch
     # (make_fused_chunk_fn), amortizing the ~0.64 ms host-side dispatch cost
     # of the ~700-leaf parameter pytrees -- identical decisions (parity:
     # tests/test_fused_pipeline.py::test_chunked_matches_per_frame_dispatch),
-    # 8 keyframes of result latency.  Measured r4: 791 vs 493 keyframes/s.
+    # 8 keyframes of result latency.  Dispatch cost bounds BOTH live
+    # profiles: the gap=20 headline pays ~2 ms per keyframe of which ~75%
+    # is dispatch, and gap=1 is one keyframe per frame.  Measured r4:
+    # gap=1 791 vs 493 keyframes/s.
     phase_left = budget_s - (time.monotonic() - t_phase)
     if phase_left > 120:
         chunk_pipe = FusedDevicePipeline(
@@ -509,21 +512,27 @@ def phase_headline(out_path: str, budget_s: float) -> None:
             chunk_pipe.count += 1
         chunk_pipe.flush()
         jax.block_until_ready(chunk_pipe.state.n)
-        kf1c_runs = []
+        kf1c_runs, fpsc_runs = [], []
         for _ in range(n_runs):
             chunk_pipe.reset()
             chunk_pipe.run(kf1_frames, gap=1, export=False)
             kf1c_runs.append(chunk_pipe.fps)
+        for _ in range(n_runs):
+            chunk_pipe.reset()
+            chunk_pipe.run(frames, gap=gap, export=False)
+            fpsc_runs.append(chunk_pipe.fps)
         result["keyframes_per_s_gap1_chunk8"] = round(
             float(np.median(kf1c_runs)), 3
         )
+        result["fps_chunk8"] = round(float(np.median(fpsc_runs)), 3)
         _write_json(out_path, result)
         _log(
-            "headline: gap=1 chunk=8 "
-            f"{result['keyframes_per_s_gap1_chunk8']:.1f} keyframes/s"
+            "headline: chunk=8 "
+            f"gap=1 {result['keyframes_per_s_gap1_chunk8']:.1f} keyframes/s, "
+            f"gap={gap} {result['fps_chunk8']:.1f} FPS"
         )
     else:
-        _log(f"headline: gap=1 chunk=8 skipped ({phase_left:.0f}s left)")
+        _log(f"headline: chunk=8 skipped ({phase_left:.0f}s left)")
 
     # I/O-inclusive figure (same fused pipeline fed from disk).  The
     # reference's printed FPS (demo.py:363-366) INCLUDES dataset I/O: its
