@@ -50,10 +50,17 @@ FUSED_META_WIDTH = 48
 
 
 def pack_fused_buffer(frame, count: int, depth_mode: str,
-                      depth_scale: float) -> np.ndarray:
+                      depth_scale: float, scratch=None) -> np.ndarray:
     """Pack one frame into the flat uint8 transfer buffer (module docstring
     layout).  Shared by the B=1 fused engine and the batched packed
-    transport so the byte layout has exactly one definition."""
+    transport so the byte layout has exactly one definition.
+
+    ``scratch``: optional (dh, dw) float32 workspace for the u16 depth
+    conversion.  Packing is the dominant per-keyframe HOST cost at gap=1
+    (~0.45 ms of the chunked path's ~1.1 ms); out-of-place temporaries in
+    the conversion are ~30% of it, so steady-state callers
+    (FusedDevicePipeline) pass a reused buffer.  NOT thread-safe to share
+    one scratch across concurrent packers."""
     h, w = frame.image.shape[:2]
     dh, dw = frame.depth.shape[:2]
     n_img = h * w * 3
@@ -61,18 +68,22 @@ def pack_fused_buffer(frame, count: int, depth_mode: str,
     buf = np.empty(n_img + n_dep + FUSED_META_WIDTH * 4, np.uint8)
     buf[:n_img] = np.ascontiguousarray(frame.image, np.uint8).reshape(-1)
     if depth_mode == "u16":
-        # f32 throughout: scale+round-half-up+clip in one fused pass
-        # (a float64 detour here measurably costs host time per keyframe;
-        # f32 holds every integer to 2^24 so the 0..65535 result is exact)
-        d = np.clip(
-            np.asarray(frame.depth, np.float32) * np.float32(depth_scale)
-            + np.float32(0.5),
-            0,
-            65535,
-        ).astype("<u2")
+        # f32 throughout: scale+round-half-up+clip (a float64 detour here
+        # measurably costs host time per keyframe; f32 holds every integer
+        # to 2^24 so the 0..65535 result is exact).  In-place into scratch,
+        # casting directly into the buffer's u16 view, saves two
+        # temporaries vs the naive expression (measured 0.50 -> 0.36 ms).
+        if scratch is None or scratch.shape != (dh, dw):
+            scratch = np.empty((dh, dw), np.float32)
+        np.multiply(frame.depth, np.float32(depth_scale), out=scratch,
+                    casting="unsafe")
+        np.add(scratch, np.float32(0.5), out=scratch)
+        np.clip(scratch, 0, 65535, out=scratch)
+        out = buf[n_img : n_img + n_dep].view("<u2").reshape(dh, dw)
+        out[...] = scratch  # trunc(x + 0.5) == round-half-up for x >= 0
     else:
         d = np.asarray(frame.depth, "<f4")
-    buf[n_img : n_img + n_dep] = d.reshape(-1).view(np.uint8)
+        buf[n_img : n_img + n_dep] = d.reshape(-1).view(np.uint8)
     meta = np.zeros(FUSED_META_WIDTH, "<f4")
     meta[:16] = np.asarray(frame.gt_pose, np.float32).ravel()
     meta[16:25] = np.asarray(frame.K, np.float32).ravel()
@@ -353,6 +364,7 @@ class FusedDevicePipeline(DevicePipeline):
         # latency.  The live default stays 1 (lowest latency).
         self.chunk = int(chunk)
         self._pending: list = []  # [(shape-key, packed buf)] awaiting a chunk
+        self._pack_scratch: Optional[np.ndarray] = None  # caller-thread only
         self._fused_fns: Dict[tuple, object] = {}
         self._text_features_dev = None
         self._params_dev = None
@@ -395,8 +407,12 @@ class FusedDevicePipeline(DevicePipeline):
         return fn
 
     def _pack_buffer(self, frame) -> np.ndarray:
+        dh, dw = frame.depth.shape[:2]
+        if self._pack_scratch is None or self._pack_scratch.shape != (dh, dw):
+            self._pack_scratch = np.empty((dh, dw), np.float32)
         return pack_fused_buffer(frame, self.count, self.depth_mode,
-                                 self.depth_scale)
+                                 self.depth_scale,
+                                 scratch=self._pack_scratch)
 
     def _fused_step(self, fn, buf: np.ndarray) -> None:
         try:
