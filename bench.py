@@ -48,6 +48,19 @@ claim for the CUDA pipeline is ~10 FPS end-to-end on a desktop GPU
 (including real dataset I/O, which the headline excludes but the
 io_inclusive secondary pays), so vs_baseline = value / 10.0 is an
 ESTIMATE, labeled as such.
+
+MEASUREMENT PROTOCOL (round 4, completion-forced).  The tunneled backend
+DEFERS real execution of most programs until a result is observed:
+``jax.block_until_ready`` returns in microseconds while the actual compute
+has not run (measured: 20 "blocked" CuTR forwards completed in 5.8 ms; the
+first following D2H fetch stalled 49 s doing the real work --
+docs/TUNNEL_PERF_NOTES.md "The relay defers execution").  Every number
+this bench ever produced through the old D2H-free protocol was therefore
+an ENQUEUE rate, not an execution rate (rounds 2-3 headline ~10,000 FPS;
+truthfully ~60-70).  Every timed window now (a) warms up with a fetch so
+the process is already in the truthful regime, and (b) ends with a small
+scalar D2H (the chained eps, or ``int(state.n)``) INSIDE the window, so
+nothing can be deferred past the clock.
 """
 from __future__ import annotations
 
@@ -247,32 +260,30 @@ def _frames(wl: dict):
 def _measure_matmul_peak(on_tpu: bool) -> tuple:
     """Measured-achievable bf16 matmul TFLOP/s on the attached chip.
 
-    The device_kind-table peak proved unusable in round 2: the tunnel fronts
-    newer silicon than its self-reported kind (detector sustained 792 TFLOP/s
-    vs the claimed v5e 197 peak).  So measure the ceiling directly: a jitted
-    chain of large square bf16 matmuls with a hard data dependency between
-    every matmul (fori_loop carry) AND between every dispatch (the output
-    feeds the next call), so neither XLA nor the relay can overlap, dedup, or
-    memoize anything.  A cheap O(n^2) renormalize per step keeps values
-    finite without touching the O(n^3) term.  MFU is reported against THIS
-    number (detector_mfu_vs_measured_peak), which is <= 1 by construction
-    up to measurement noise.
-
-    The inner chain is a PYTHON loop unrolled into straight-line HLO, not a
-    fori_loop: on the tunneled backend any loop primitive whose body touches
-    a captured array both poisons the process AND (observed round 3 + twice
-    in round 4) can hang the dispatch outright -- this fori_loop was the
-    round-3 bench's rc=124 (docs/TUNNEL_PERF_NOTES.md; straight-line
-    programs stay clean).
+    Round 2's detector "sustained 792 TFLOP/s vs the claimed v5e 197 peak"
+    -- round 4 exposed that as the relay's DEFERRED-execution fiction, not
+    newer silicon (module docstring).  The ceiling is still measured
+    directly rather than trusted from the device_kind table, now under the
+    completion-forced protocol: a jitted chain of large square bf16 matmuls
+    with a hard data dependency between every matmul AND every dispatch,
+    warmed up with a fetch and closed by a fetch inside the timed window.
+    A cheap O(n^2) renormalize per step keeps values finite without
+    touching the O(n^3) term.  MFU is reported against THIS number
+    (detector_mfu_vs_measured_peak).  Fetch-forced r4 measurement:
+    172-175 TFLOP/s -- 89% of the v5e table peak, i.e. the self-reported
+    chip kind is real.
     """
     import jax
     import jax.numpy as jnp
 
     n, inner, reps = (8192, 8, 10) if on_tpu else (512, 2, 2)
     dt = jnp.bfloat16 if on_tpu else jnp.float32
-    k0, k1 = jax.random.split(jax.random.PRNGKey(7))
-    w = (jax.random.normal(k0, (n, n)) * (1.0 / np.sqrt(n))).astype(dt)
-    x0 = jax.random.normal(k1, (n, n)).astype(dt)
+    # HOST RNG + device_put: on-device jax.random generation of the 8192^2
+    # operands added minutes of compile+run on the tunnel (the round-4
+    # micro-phase "hang" was exactly this, not a hang)
+    rng = np.random.RandomState(7)
+    w = jax.device_put(rng.randn(n, n).astype(np.float32) / np.sqrt(n)).astype(dt)
+    x0 = jax.device_put(rng.randn(n, n).astype(np.float32)).astype(dt)
 
     @jax.jit
     def chain(x):
@@ -282,11 +293,11 @@ def _measure_matmul_peak(on_tpu: bool) -> tuple:
         return x
 
     x = chain(x0)
-    jax.block_until_ready(x)
+    float(jnp.sum(x.astype(jnp.float32)))  # truthful-mode warmup fetch
     t0 = time.perf_counter()
     for _ in range(reps):
         x = chain(x)
-    jax.block_until_ready(x)
+    float(jnp.sum(x.astype(jnp.float32)))  # completion fetch INSIDE window
     elapsed = time.perf_counter() - t0
     tflops_per_s = reps * inner * 2.0 * float(n) ** 3 / elapsed / 1e12
     return tflops_per_s, n, inner
@@ -308,33 +319,29 @@ def phase_micro(out_path: str, budget_s: float) -> None:
     jax.block_until_ready(fwd(params, batch))  # compile
     _log("micro: CuTR forward compiled")
 
-    # 20 back-to-back dispatches with a DATA DEPENDENCY chaining each rep to
-    # the previous output: identical independent dispatches measured 3.8x
-    # peak MFU on the tunneled backend (dedup/overlap in the relay), so the
-    # chain forces genuinely serial execution; the queue still keeps the
-    # chip busy (per-call sync would add tunnel RPC latency to every
-    # sample, see docs/TUNNEL_PERF_NOTES.md).
+    # back-to-back dispatches with a DATA DEPENDENCY chaining each rep to
+    # the previous output, and -- the round-4 correction -- a scalar FETCH
+    # of the dependency inside the timed window.  Without the fetch the
+    # relay defers real execution and block_until_ready returns in
+    # microseconds (module docstring): the old protocol recorded 0.29 ms
+    # per forward where the truthful cost is ~5 ms.
     @jax.jit
     def chained(params, batch, eps):
         out = model.apply(params, _dc.replace(batch, image=batch.image + eps))
         # dependency scalar folds in EVERY output so XLA cannot dead-code-
         # eliminate any head (flops counted below are of this same program)
         dep = sum(jnp.sum(v).astype(jnp.float32) for v in jax.tree.leaves(out))
-        # strictly increasing carry: each rep's input eps is DISTINCT.  A
-        # sub-f32-ulp perturbation rounds away, the calls become bit-identical
-        # and the remote relay memoizes them (measured 3.2x "MFU" that way);
-        # the +1e-3 keeps every execution genuinely unique with no extra
-        # dispatches or host transfers.
+        # the +1e-3 keeps every execution's input genuinely unique
         return dep * 1e-12 + eps + 1e-3
 
-    reps = 20
+    reps = 50
     eps = chained(params, batch, jnp.float32(0.0))
-    jax.block_until_ready(eps)
+    float(eps)  # compile + flip the process into the truthful regime
     _log("micro: chained program compiled; timing")
     t0 = time.perf_counter()
     for _ in range(reps):
         eps = chained(params, batch, eps)
-    jax.block_until_ready(eps)
+    float(eps)  # completion fetch INSIDE the window
     det_ms = (time.perf_counter() - t0) / reps * 1e3
     _log(f"micro: detector {det_ms:.2f} ms/forward; counting FLOPs")
     det_flops = _compiled_flops(chained, params, batch, jnp.float32(0.0))
@@ -377,10 +384,10 @@ def phase_micro(out_path: str, budget_s: float) -> None:
     )
     if mfu > 1.0:
         result["mfu_note"] = (
-            f"detector {tflops_per_s:.0f} TFLOP/s exceeds the {peak:.0f} "
-            f"TFLOP/s bf16 table peak of the self-reported '{chip}'; the "
-            f"measured bf16 matmul ceiling of this chip is {measured_peak:.0f} "
-            "TFLOP/s -- use detector_mfu_vs_measured_peak, not detector_mfu"
+            f"IMPOSSIBLE: detector {tflops_per_s:.0f} TFLOP/s exceeds the "
+            f"{peak:.0f} TFLOP/s bf16 table peak of '{chip}' -- under the "
+            "completion-forced protocol this indicates the relay deferred "
+            "execution anyway; treat this phase's figures as invalid"
         )
     _write_json(out_path, result)
     _log(
@@ -427,27 +434,29 @@ def phase_headline(out_path: str, budget_s: float) -> None:
         capacity=headline_capacity,
     )
 
-    # warmup compiles the fused program (persistent-cached); timed runs
-    # reset + reuse the pipeline (fresh state, cached executables)
+    # warmup compiles the fused program (persistent-cached) AND flips the
+    # process into the truthful regime with a fetch; timed runs reset +
+    # reuse the pipeline (fresh state, cached executables)
     _log("headline: compiling fused keyframe program")
     for i, frame in enumerate(frames[: 2 * gap + 1]):
         if i % gap == 0:
             real_pipe.process_keyframe(frame)
         real_pipe.count += 1
     real_pipe.flush()
-    jax.block_until_ready(real_pipe.state.n)
+    int(real_pipe.state.n)  # truthful-mode warmup fetch (module docstring)
     _log("headline: fused program compiled; timing")
 
-    # export=False: a world export is a D2H of computed device buffers, and
-    # ANY such readback permanently flips the tunneled backend into its
-    # ~30x-degraded dispatch mode (docs/TUNNEL_PERF_NOTES.md; measured 20x
-    # FPS collapse on run 2).  Timed runs stay D2H-free; one export happens
-    # after ALL timing, at the bottom of this phase.
-    real_runs = []
-    for _ in range(n_runs):
-        real_pipe.reset()
-        real_pipe.run(frames, gap=gap, export=False)
-        real_runs.append(real_pipe.fps)
+    def _timed_run(pipe, seq_frames, g):
+        """One externally-timed run with the completion fetch INSIDE the
+        window -- pipe.fps (set by run()) excludes the fetch and would
+        report the relay's enqueue rate, not execution (module docstring)."""
+        pipe.reset()
+        t0 = time.perf_counter()
+        pipe.run(seq_frames, gap=g, export=False)
+        int(pipe.state.n)  # forces real completion of the whole chain
+        return len(seq_frames) / (time.perf_counter() - t0)
+
+    real_runs = [_timed_run(real_pipe, frames, gap) for _ in range(n_runs)]
     real_fps = float(np.median(real_runs))
 
     # hold the LAST HEADLINE run's final state for the end-of-phase export
@@ -463,7 +472,9 @@ def phase_headline(out_path: str, budget_s: float) -> None:
                 "detections/keyframe; non-saturating profile: "
                 f"{headline_capacity}-slot world, "
                 f"{int(cfg_headline['detection']['max_label_boxes'])}-crop "
-                "label budget)"
+                "label budget); COMPLETION-FORCED timing (in-window D2H "
+                "barrier; earlier rounds' ~10k FPS was the relay's deferred-"
+                "execution enqueue rate, see bench.py docstring)"
             ),
             "value": round(real_fps, 3),
             "unit": "frames/s",
@@ -483,56 +494,11 @@ def phase_headline(out_path: str, budget_s: float) -> None:
         real_pipe.process_keyframe(fr)
         real_pipe.count += 1
     real_pipe.flush()
-    jax.block_until_ready(real_pipe.state.n)
-    kf1_runs = []
-    for _ in range(n_runs):
-        real_pipe.reset()
-        real_pipe.run(kf1_frames, gap=1, export=False)
-        kf1_runs.append(real_pipe.fps)
+    int(real_pipe.state.n)
+    kf1_runs = [_timed_run(real_pipe, kf1_frames, 1) for _ in range(n_runs)]
     result["keyframes_per_s_gap1"] = round(float(np.median(kf1_runs)), 3)
     _write_json(out_path, result)
     _log(f"headline: gap=1 {result['keyframes_per_s_gap1']:.1f} keyframes/s")
-
-    # chunk=8 throughput mode: scan 8 keyframes per dispatch
-    # (make_fused_chunk_fn), amortizing the ~0.64 ms host-side dispatch cost
-    # of the ~700-leaf parameter pytrees -- identical decisions (parity:
-    # tests/test_fused_pipeline.py::test_chunked_matches_per_frame_dispatch),
-    # 8 keyframes of result latency.  Dispatch cost bounds BOTH live
-    # profiles: the gap=20 headline pays ~2 ms per keyframe of which ~75%
-    # is dispatch, and gap=1 is one keyframe per frame.  Measured r4:
-    # gap=1 791 vs 493 keyframes/s.
-    phase_left = budget_s - (time.monotonic() - t_phase)
-    if phase_left > 120:
-        chunk_pipe = FusedDevicePipeline(
-            cfg_headline, CuTRDetector(model, params), labeler=labeler,
-            capacity=headline_capacity, chunk=8,
-        )
-        for fr in kf1_frames[:9]:
-            chunk_pipe.process_keyframe(fr)
-            chunk_pipe.count += 1
-        chunk_pipe.flush()
-        jax.block_until_ready(chunk_pipe.state.n)
-        kf1c_runs, fpsc_runs = [], []
-        for _ in range(n_runs):
-            chunk_pipe.reset()
-            chunk_pipe.run(kf1_frames, gap=1, export=False)
-            kf1c_runs.append(chunk_pipe.fps)
-        for _ in range(n_runs):
-            chunk_pipe.reset()
-            chunk_pipe.run(frames, gap=gap, export=False)
-            fpsc_runs.append(chunk_pipe.fps)
-        result["keyframes_per_s_gap1_chunk8"] = round(
-            float(np.median(kf1c_runs)), 3
-        )
-        result["fps_chunk8"] = round(float(np.median(fpsc_runs)), 3)
-        _write_json(out_path, result)
-        _log(
-            "headline: chunk=8 "
-            f"gap=1 {result['keyframes_per_s_gap1_chunk8']:.1f} keyframes/s, "
-            f"gap={gap} {result['fps_chunk8']:.1f} FPS"
-        )
-    else:
-        _log(f"headline: chunk=8 skipped ({phase_left:.0f}s left)")
 
     # I/O-inclusive figure (same fused pipeline fed from disk).  The
     # reference's printed FPS (demo.py:363-366) INCLUDES dataset I/O: its
@@ -593,6 +559,7 @@ def phase_headline(out_path: str, budget_s: float) -> None:
                     Prefetcher(CA1MDataset(cfg_io), depth=8),
                     gap=gap, export=False,
                 )
+                int(real_pipe.state.n)  # completion fetch INSIDE the window
                 io_runs.append(real_pipe.count / (time.perf_counter() - t_io))
             result["io_inclusive_fps_ca1m_layout"] = round(
                 float(np.median(io_runs)), 3
@@ -607,15 +574,51 @@ def phase_headline(out_path: str, budget_s: float) -> None:
     elif on_tpu:
         _log(f"headline: io-inclusive skipped ({phase_left:.0f}s phase budget left)")
 
-    # single end-of-phase export (sanity: the timed runs really kept boxes);
-    # safe for TIMING here because no timing follows the D2H.  Exports the
-    # last HEADLINE run's state -- the saturation figures must describe the
-    # workload the headline FPS was measured on, not the side profiles.
-    # The export itself runs on a WATCHDOG thread: a D2H of computed buffers
-    # is a known tunnel degradation trigger and (observed this round) can
-    # hang outright; a hung export must cost this phase its stats fields,
-    # never the already-written FPS figures (the daemon thread dies with
-    # the process; phases exit via os._exit, so no shutdown hang either).
+    # chunk=8 throughput mode: scan 8 keyframes per dispatch
+    # (make_fused_chunk_fn), amortizing per-keyframe host dispatch cost --
+    # identical decisions (parity:
+    # tests/test_fused_pipeline.py::test_chunked_matches_per_frame_dispatch),
+    # 8 keyframes of result latency.  Truthfully timed the win is ~15-25%
+    # (r4: gap=20 71 vs 61 FPS, gap=1 4.1 vs 3.2 keyframes/s) -- the
+    # residual cost is real device compute, not dispatch.
+    phase_left = budget_s - (time.monotonic() - t_phase)
+    if phase_left > 120:
+        chunk_pipe = FusedDevicePipeline(
+            cfg_headline, CuTRDetector(model, params), labeler=labeler,
+            capacity=headline_capacity, chunk=8,
+        )
+        for fr in kf1_frames[:9]:
+            chunk_pipe.process_keyframe(fr)
+            chunk_pipe.count += 1
+        chunk_pipe.flush()
+        int(chunk_pipe.state.n)  # compile + truthful-mode fetch
+        kf1c_runs = [_timed_run(chunk_pipe, kf1_frames, 1)
+                     for _ in range(n_runs)]
+        fpsc_runs = [_timed_run(chunk_pipe, frames, gap)
+                     for _ in range(n_runs)]
+        result["keyframes_per_s_gap1_chunk8"] = round(
+            float(np.median(kf1c_runs)), 3
+        )
+        result["fps_chunk8"] = round(float(np.median(fpsc_runs)), 3)
+        _write_json(out_path, result)
+        _log(
+            "headline: chunk=8 "
+            f"gap=1 {result['keyframes_per_s_gap1_chunk8']:.1f} keyframes/s, "
+            f"gap={gap} {result['fps_chunk8']:.1f} FPS"
+        )
+    else:
+        _log(f"headline: chunk=8 skipped ({phase_left:.0f}s left)")
+
+    # single end-of-phase export (sanity: the timed runs really kept boxes).
+    # Exports the last HEADLINE run's state -- the saturation figures must
+    # describe the workload the headline FPS was measured on, not the side
+    # profiles.  The export runs on a WATCHDOG thread: a large D2H over the
+    # tunnel can still stall (the round-4 "export hang" was the relay
+    # draining its deferred queue -- with in-window fetches that backlog is
+    # gone, but the guard is kept); a hung export must cost this phase its
+    # stats fields, never the already-written FPS figures (the daemon
+    # thread dies with the process; phases exit via os._exit, so no
+    # shutdown hang either).
     import threading
 
     from boxfusion_tpu.runtime.device_state import export_world
@@ -695,7 +698,7 @@ def phase_stress(out_path: str, budget_s: float) -> None:
             stress_pipe.process_keyframe(frame)
         stress_pipe.count += 1
     stress_pipe.flush()
-    jax.block_until_ready(stress_pipe.state.n)
+    int(stress_pipe.state.n)  # compile + truthful-mode fetch
     _log("stress: compiled; timing")
 
     stress_runs = []
@@ -704,8 +707,10 @@ def phase_stress(out_path: str, budget_s: float) -> None:
         # fresh oracle per run: its RNG is consumed per call, and runs must
         # measure an identical detection workload
         stress_pipe.detector = BenchDetector()
+        t0 = time.perf_counter()
         stress_pipe.run(frames, gap=gap, export=False)
-        stress_runs.append(stress_pipe.fps)
+        int(stress_pipe.state.n)  # completion fetch INSIDE the window
+        stress_runs.append(len(frames) / (time.perf_counter() - t0))
     result["stress_fps_oracle_load"] = round(float(np.median(stress_runs)), 3)
     _write_json(out_path, result)
     _log(f"stress: done ({result['stress_fps_oracle_load']:.1f} FPS)")
@@ -743,12 +748,16 @@ def phase_multistream(out_path: str, budget_s: float) -> None:
     )
     _log("multistream: compiling batched programs")
     bp.run(lane_seqs, gap=gap, export=False)  # warmup compile
+    int(np.asarray(bp.states.n).sum())  # truthful-mode fetch
     _log("multistream: compiled; timing")
+    n_frames_total = sum(len(s) for s in lane_seqs)
     ms_runs = []
     for _ in range(n_runs):
         bp.reset()
+        t0 = time.perf_counter()
         bp.run(lane_seqs, gap=gap, export=False)
-        ms_runs.append(sum(bp.lane_fps))
+        int(np.asarray(bp.states.n).sum())  # completion fetch in window
+        ms_runs.append(n_frames_total / (time.perf_counter() - t0))
     result["multistream_fps_4lanes_packed"] = round(float(np.median(ms_runs)), 3)
     _write_json(out_path, result)
     _log(
@@ -854,7 +863,9 @@ def main() -> None:
     result: dict = {}
 
     # --- 1. micro: detector figures (fast; a PRELIMINARY record) ------------
-    micro = _run_phase("micro", min(420.0, max(120.0, _remaining() - 600)))
+    # the truthful-mode flip (first fetch after the chained-program compile)
+    # can alone take ~4 min on the tunnel; 420 s truncated the phase in r4
+    micro = _run_phase("micro", min(600.0, max(120.0, _remaining() - 600)))
     on_tpu = bool(micro.get("on_tpu", True))
     micro.pop("on_tpu", None)
     result.update(micro)
@@ -865,7 +876,11 @@ def main() -> None:
     # one retry on a hang/crash if the deadline allows: tunnel outages have
     # recovered within minutes, and the compile cache makes retries cheap
     for attempt in (1, 2):
-        budget = min(900.0, _remaining() - 60)
+        # the relay's first forced execution of a freshly-compiled program
+        # can take ~10 min before any timing starts (TUNNEL_PERF_NOTES.md
+        # round-4 correction); the phase self-gates its optional secondaries
+        # on its remaining budget
+        budget = min(1100.0, _remaining() - 60)
         if budget < 240:
             _log("headline: skipped (deadline)")
             break
