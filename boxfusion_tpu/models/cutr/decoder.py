@@ -48,12 +48,11 @@ class TorchMHA(nn.Module):
         kh = (k @ wk.T + bk).reshape(B, Nk, self.num_heads, hd)
         vh = (v @ wv.T + bv).reshape(B, Nk, self.num_heads, hd)
 
-        attn = jnp.einsum(
-            "bqhc,bkhc->bhqk", qh, kh, preferred_element_type=jnp.float32
-        ) * (hd ** -0.5)
+        # compute-dtype scores, f32 softmax (see models/cutr/vit.py::attend)
+        attn = jnp.einsum("bqhc,bkhc->bhqk", qh, kh) * (hd ** -0.5)
         if mask is not None:
             attn = jnp.where(mask[None, None], -jnp.inf, attn)
-        attn = jax.nn.softmax(attn, axis=-1).astype(vh.dtype)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(vh.dtype)
         o = jnp.einsum("bhqk,bkhc->bqhc", attn, vh).reshape(B, Nq, C)
         return out(o)
 
@@ -122,13 +121,12 @@ class GlobalCrossAttention(nn.Module):
         k = nn.Dense(C, dtype=self.dtype, name="k")(k_input).reshape(B, -1, self.num_heads, hd)
         v = nn.Dense(C, dtype=self.dtype, name="v")(v_input).reshape(B, -1, self.num_heads, hd)
 
-        attn = jnp.einsum(
-            "bqhc,bkhc->bhqk", q * (hd ** -0.5), k,
-            preferred_element_type=jnp.float32,
-        )
+        # compute-dtype scores, f32 softmax (see models/cutr/vit.py::attend);
+        # the rpe bias rounds to the score dtype (scatter-add keeps attn's)
+        attn = jnp.einsum("bqhc,bkhc->bhqk", q * (hd ** -0.5), k)
         # rpe applies to the box queries only (cubify_transformer.py:180-183).
         attn = attn.at[:, :, num_prefix:].add(rpe)
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
         o = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(B, Nq, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(o)
 

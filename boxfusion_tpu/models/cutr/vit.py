@@ -111,12 +111,11 @@ class JointAttention(nn.Module):
             return r[:, :, 0], r[:, :, 1], r[:, :, 2]  # each (B, N, heads, hd)
 
         def attend(qh, kh, vh):
-            # scores accumulate + softmax in f32; PV matmul back in dtype.
-            a = jnp.einsum(
-                "bqhc,bkhc->bhqk", qh * scale, kh,
-                preferred_element_type=jnp.float32,
-            )
-            a = jax.nn.softmax(a, axis=-1).astype(vh.dtype)
+            # scores in the compute dtype, softmax statistics in f32 (an f32
+            # score tensor doubles attention HBM traffic -- measured 2x on
+            # the CLIP tower, models/clip/model.py; f32 mode is unchanged).
+            a = jnp.einsum("bqhc,bkhc->bhqk", qh * scale, kh)
+            a = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(vh.dtype)
             return jnp.einsum("bhqk,bkhc->bqhc", a, vh)
 
         q, k, v = split_qkv(x.reshape(B, H * W, C), H * W)
