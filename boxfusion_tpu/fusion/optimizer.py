@@ -41,7 +41,12 @@ class PSTOptConfig:
     max_contributors: int = 200  # cal_transform cap (box_fusion.py:514)
     min_scale: float = 1e-3
     fail_limit: int = 3
-    fitness_impl: str = "auto"  # "pallas" | "xla" | "auto"
+    # "pallas" | "xla" | "auto" (auto -> pallas on TPU when P % 128 == 0).
+    # Truthful completion-forced A/B (r4, fusion-heavy gap=1 keyframes,
+    # capacity 2048): pallas 88.8 vs xla 161.4 ms/keyframe -- the
+    # VMEM-resident kernel's ~2x win is real, not a deferred-execution
+    # artifact.  Config key: box_fusion.fitness_impl.
+    fitness_impl: str = "auto"
     # True: run the fixed `iters` iterations as straight-line code (no
     # while_loop primitive).  Identical trajectory -- the body freezes
     # converged lanes -- but required on backends whose while-loop dispatch

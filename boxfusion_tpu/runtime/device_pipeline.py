@@ -96,6 +96,9 @@ def step_config_from(cfg) -> StepConfig:
             shape_init_size=float(ro["shape_init_size"]),
             shape_scaling_coefficient=float(ro["shape_scaling_coefficient"]),
             unroll=engine == "unrolled",
+            fitness_impl=(
+                str(bf["fitness_impl"]) if "fitness_impl" in bf else "auto"
+            ),
         ),
     )
 
