@@ -21,8 +21,16 @@ the persistent compilation cache, so warm-vs-warm is the honest
 same-protocol comparison of the reference's only perf surface.
 
 Usage:
-  python tools/run_blackbox_parity.py [--trained] [--steps 350]
-      [--workdir /tmp/blackbox_parity] [--out REF_CPU_PARITY.json]
+  python tools/run_blackbox_parity.py [--trained | --ckpt trained.pth]
+      [--steps 350] [--workdir /tmp/blackbox_parity]
+      [--out REF_CPU_PARITY.json]
+
+The committed REF_CPU_PARITY.json holds the random-regime record (its
+``fps``/``world`` keys) plus a ``trained_regime`` block measured with a
+1700-step overfit checkpoint (r4): world counts exactly equal, 70.6%
+corner-exact (<5 cm), median center drift 1.3 cm.  When regenerating one
+regime, merge rather than overwrite the other (or pass a different
+--out).
 """
 from __future__ import annotations
 
@@ -47,6 +55,9 @@ def main(argv=None) -> int:
     ap.add_argument("--trained", action="store_true",
                     help="train a checkpoint on the scene (deterministic "
                          "parity regime); otherwise seeded random weights")
+    ap.add_argument("--ckpt", default=None,
+                    help="use an existing trained .pth (skips training; "
+                         "implies the deterministic regime)")
     ap.add_argument("--steps", type=int, default=350)
     ap.add_argument("--dim", type=int, default=192,
                     help="ViT width for --trained (192 is the smallest the "
@@ -77,7 +88,10 @@ def main(argv=None) -> int:
         bh.write_scene(seqdir, n_frames=N_FRAMES, image_hw=HW)
     class_txt, class_pt = bh.write_class_assets(root)
 
-    if args.trained:
+    if args.ckpt:
+        ckpt = args.ckpt
+        args.trained = True  # deterministic-regime labeling + exact matcher
+    elif args.trained:
         ckpt = os.path.join(root, "cutr_trained.pth")
         our_cfg_train = bh.write_config(
             os.path.join(root, "train.yaml"), datadir=seqdir,
@@ -137,7 +151,8 @@ def main(argv=None) -> int:
         "protocol": {
             "scene": {"frames": N_FRAMES, "gap": GAP, "image_hw": list(HW),
                       "seq": SEQ},
-            "checkpoint": ("trained(%d steps, dim %d)" % (args.steps, args.dim))
+            "checkpoint": (args.ckpt or
+                           "trained(%d steps, dim %d)" % (args.steps, args.dim))
                           if args.trained else "seeded-random(dim 192)",
             "reference_entry": "/root/reference/demo.py (CPU, IO/viz stubs)",
             "ours_entry": "boxfusion_tpu.cli --engine host|fused (CPU)",
