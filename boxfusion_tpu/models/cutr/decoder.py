@@ -122,10 +122,11 @@ class GlobalCrossAttention(nn.Module):
         v = nn.Dense(C, dtype=self.dtype, name="v")(v_input).reshape(B, -1, self.num_heads, hd)
 
         # compute-dtype scores, f32 softmax (see models/cutr/vit.py::attend);
-        # the rpe bias rounds to the score dtype (scatter-add keeps attn's)
+        # the rpe bias rounds to the score dtype (explicit: an implicit
+        # f32->bf16 scatter cast is a FutureWarning on its way to an error)
         attn = jnp.einsum("bqhc,bkhc->bhqk", q * (hd ** -0.5), k)
         # rpe applies to the box queries only (cubify_transformer.py:180-183).
-        attn = attn.at[:, :, num_prefix:].add(rpe)
+        attn = attn.at[:, :, num_prefix:].add(rpe.astype(attn.dtype))
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
         o = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(B, Nq, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(o)
