@@ -189,6 +189,10 @@ def main(argv=None) -> int:
     from boxfusion_tpu.runtime import OnlinePipeline
     from boxfusion_tpu.utils import viz
 
+    if args.chunk > 1 and args.engine != "fused":
+        print(f"[cli] --chunk {args.chunk} only amortizes dispatch on the "
+              f"fused engine; --engine {args.engine} ignores it")
+
     if args.engine in ("device", "fused"):
         engine_used = args.engine
         if args.engine == "fused":

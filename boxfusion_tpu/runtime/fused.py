@@ -75,8 +75,12 @@ def pack_fused_buffer(frame, count: int, depth_mode: str,
         # temporaries vs the naive expression (measured 0.50 -> 0.36 ms).
         if scratch is None or scratch.shape != (dh, dw):
             scratch = np.empty((dh, dw), np.float32)
-        np.multiply(frame.depth, np.float32(depth_scale), out=scratch,
-                    casting="unsafe")
+        # copy-assign FIRST so the ufunc loop below runs in f32 regardless
+        # of the source dtype (np.multiply with out= picks the loop from the
+        # INPUT dtypes -- a float64 depth would silently compute in f64);
+        # the reshape also accepts a trailing singleton channel (dh, dw, 1)
+        scratch[...] = np.asarray(frame.depth).reshape(dh, dw)
+        np.multiply(scratch, np.float32(depth_scale), out=scratch)
         np.add(scratch, np.float32(0.5), out=scratch)
         np.clip(scratch, 0, 65535, out=scratch)
         out = buf[n_img : n_img + n_dep].view("<u2").reshape(dh, dw)
@@ -129,9 +133,18 @@ def unpack_fused_buffer(buf, *, h: int, w: int, dh: int, dw: int,
 _PROGRAM_CACHE: Dict[tuple, object] = {}
 
 
+def label_buckets_for(budget: int) -> tuple:
+    """Ascending crop-count buckets ending at ``budget``.
+
+    0 skips CLIP entirely on empty keyframes; intermediate multiples of 32
+    keep the compile count small while bounding wasted crops at <32."""
+    return (0,) + tuple(b for b in (32, 64, 96) if b < budget) + (budget,)
+
+
 def label_boost_core(
     labeler, det, norm_image, image_hw, *, label_budget, scale_box,
     clip_coeff, raw_score_thresh, clip_params, text_features,
+    bucketed: bool = False,
 ):
     """Open-vocab labeling of ONE frame's detections, traced inline.
 
@@ -143,23 +156,61 @@ def label_boost_core(
     B=1 engine and vmapped over the lane axis by ``runtime.batched`` --
     decision parity between the two engines is BY CONSTRUCTION.
 
+    ``bucketed=True`` (B=1 engine only): instead of always cropping the
+    full ``label_budget`` pad, count the live (raw-score-passing) rows ON
+    DEVICE and ``lax.switch`` into the smallest bucket that covers them
+    (``label_buckets_for``) -- a 45-detection keyframe then pays 64 crops'
+    CLIP FLOPs, not 128.  Decision-identical: detections are score-sorted,
+    so live rows are a prefix; rows past the live count are score-masked
+    to -1e9 and dropped by the step's score filter whether or not they
+    were cropped.  TPU ``lax.switch`` executes only the selected branch.
+    MUST stay False under vmap (runtime.batched): a vmapped switch lowers
+    to running EVERY branch and selecting, i.e. 4x the CLIP cost.
+
     Returns ``(det', overflow)`` where overflow counts live rows past the
     label budget (folded into stats[4] by the callers)."""
     image_dev = norm_image * jnp.asarray(PIXEL_STD_U8) + jnp.asarray(PIXEL_MEAN_U8)
     raw_ok = det["scores"] >= raw_score_thresh
     masked = jnp.where(raw_ok, det["scores"], -1e9)
     budget = min(int(label_budget), int(det["pred_boxes"].shape[0]))
-    new_scores, categories, _, overflow = labeler._boost_impl(
-        image_dev,
-        det["pred_boxes"],
-        masked,
-        image_hw,
-        jnp.float32(scale_box),
-        jnp.float32(clip_coeff),
-        budget,
-        params=clip_params,
-        text_features=text_features,
-    )
+
+    def boost_at(b: int):
+        if b == 0:
+            # no live rows: raw scores stand, every row is background --
+            # exactly _boost_impl with budget=0, minus the 0-crop tower
+            n = det["scores"].shape[0]
+            n_classes = (
+                labeler.text_features.shape[0]
+                if text_features is None else text_features.shape[0]
+            )
+            return (
+                masked,
+                jnp.full(n, n_classes, jnp.int32),
+                jnp.sum(masked > -1e8).astype(jnp.int32),
+            )
+        new_scores, categories, _, overflow = labeler._boost_impl(
+            image_dev,
+            det["pred_boxes"],
+            masked,
+            image_hw,
+            jnp.float32(scale_box),
+            jnp.float32(clip_coeff),
+            b,
+            params=clip_params,
+            text_features=text_features,
+        )
+        return new_scores, categories, overflow
+
+    if not bucketed:
+        new_scores, categories, overflow = boost_at(budget)
+    else:
+        buckets = label_buckets_for(budget)
+        live = jnp.sum(raw_ok).astype(jnp.int32)
+        # smallest bucket >= live (saturating at the full budget)
+        idx = jnp.sum(live > jnp.asarray(buckets[:-1], jnp.int32))
+        new_scores, categories, overflow = jax.lax.switch(
+            idx, [functools.partial(boost_at, b) for b in buckets]
+        )
     det = dict(det, scores=jnp.where(raw_ok, new_scores, -1e9), category=categories)
     return det, overflow
 
@@ -181,6 +232,7 @@ def make_fused_keyframe_fn(
     scale_box: float = 1.5,
     clip_coeff: float = 0.0,
     raw_score_thresh: float = 0.0,
+    label_bucketing: bool = True,
 ):
     """Build the jitted fused keyframe program for one shape bucket.
 
@@ -201,7 +253,7 @@ def make_fused_keyframe_fn(
         None if labeler is None else (labeler.cfg, labeler.text_features.shape,
                                       labeler.sim_thres),
         step_cfg, h, w, dh, dw, square, ratio, kmax, depth_mode,
-        label_budget, scale_box, clip_coeff, raw_score_thresh,
+        label_budget, scale_box, clip_coeff, raw_score_thresh, label_bucketing,
     )
     cached = _PROGRAM_CACHE.get(key)
     if cached is not None:
@@ -211,7 +263,7 @@ def make_fused_keyframe_fn(
         model, step_cfg, h=h, w=w, dh=dh, dw=dw, square=square, ratio=ratio,
         kmax=kmax, depth_mode=depth_mode, labeler=labeler,
         label_budget=label_budget, scale_box=scale_box, clip_coeff=clip_coeff,
-        raw_score_thresh=raw_score_thresh,
+        raw_score_thresh=raw_score_thresh, label_bucketing=label_bucketing,
     )
     fn = jax.jit(fused)
     _PROGRAM_CACHE[key] = fn
@@ -221,6 +273,7 @@ def make_fused_keyframe_fn(
 def _fused_body(
     model, step_cfg, *, h, w, dh, dw, square, ratio, kmax, depth_mode,
     labeler, label_budget, scale_box, clip_coeff, raw_score_thresh,
+    label_bucketing=True,
 ):
     """The pure one-keyframe program body shared by the per-frame jit and
     the chunked ``lax.scan`` wrapper."""
@@ -252,6 +305,7 @@ def _fused_body(
                 label_budget=label_budget, scale_box=scale_box,
                 clip_coeff=clip_coeff, raw_score_thresh=raw_score_thresh,
                 clip_params=clip_params, text_features=text_features,
+                bucketed=label_bucketing,
             )
             state = dataclasses.replace(
                 state, stats=state.stats.at[4].add(overflow)
@@ -285,6 +339,7 @@ def make_fused_chunk_fn(
     scale_box: float = 1.5,
     clip_coeff: float = 0.0,
     raw_score_thresh: float = 0.0,
+    label_bucketing: bool = True,
 ):
     """The throughput variant: ``fn(params, clip_params, text_features,
     state, bufs (chunk, L) u8, pst) -> state`` runs ``chunk`` consecutive
@@ -306,7 +361,7 @@ def make_fused_chunk_fn(
         None if labeler is None else (labeler.cfg, labeler.text_features.shape,
                                       labeler.sim_thres),
         step_cfg, h, w, dh, dw, square, ratio, kmax, depth_mode,
-        label_budget, scale_box, clip_coeff, raw_score_thresh,
+        label_budget, scale_box, clip_coeff, raw_score_thresh, label_bucketing,
     )
     cached = _PROGRAM_CACHE.get(key)
     if cached is not None:
@@ -316,7 +371,7 @@ def make_fused_chunk_fn(
         model, step_cfg, h=h, w=w, dh=dh, dw=dw, square=square, ratio=ratio,
         kmax=kmax, depth_mode=depth_mode, labeler=labeler,
         label_budget=label_budget, scale_box=scale_box, clip_coeff=clip_coeff,
-        raw_score_thresh=raw_score_thresh,
+        raw_score_thresh=raw_score_thresh, label_bucketing=label_bucketing,
     )
 
     def fused_chunk(params, clip_params, text_features, state, bufs, pst):
@@ -402,6 +457,7 @@ class FusedDevicePipeline(DevicePipeline):
                 scale_box=float(det_cfg["scale_box"]),
                 clip_coeff=float(self.cfg["box_fusion"]["clip_sim_coeff"]),
                 raw_score_thresh=float(det_cfg["score_thresh"]),
+                label_bucketing=bool(det_cfg.get("label_bucketing", True)),
             )
             self._fused_fns[key] = fn
         return fn
@@ -509,3 +565,9 @@ class FusedDevicePipeline(DevicePipeline):
     def reset(self) -> None:
         self._pending.clear()
         super().reset()
+
+    def restore_state(self, path: str, count: int = 0) -> None:
+        # keyframes buffered pre-restore belong to the replaced timeline;
+        # dispatching them on top of the restored state would corrupt it
+        self._pending.clear()
+        super().restore_state(path, count)

@@ -58,6 +58,13 @@ DEFAULTS: Dict[str, Any] = {
         # keyframe (static shape; N >= the post-score-filter count keeps
         # reference behavior exactly).
         "max_label_boxes": 32,
+        # Bucketed label batch (fused B=1 engine only): pick the smallest
+        # crop-count bucket >= the live detection count ON DEVICE
+        # (lax.switch, no D2H), so a 45-detection keyframe pays ~64 crops'
+        # CLIP FLOPs instead of the full max_label_boxes pad.  Decisions
+        # are identical (rows past the live count are score-masked to -1e9
+        # either way).  One compile per bucket.
+        "label_bucketing": True,
     },
     "association": {
         "small_threshold": 0.2,

@@ -284,3 +284,78 @@ def test_chunked_matches_per_frame_dispatch(cutr):
         np.asarray(chunked_world["stats"]["keyframes"]),
         np.asarray(base_world["stats"]["keyframes"]),
     )
+
+
+def test_bucketed_labeling_matches_full_budget(cutr):
+    """label_bucketing=True (per-keyframe lax.switch into the smallest crop
+    bucket covering the live count, runtime/fused.py::label_boost_core) must
+    make bit-identical decisions to the fixed full-budget pad: live rows are
+    a score-sorted prefix, so any bucket >= the live count labels exactly
+    the rows the step will keep.  score_thresh varies the live count across
+    keyframes so several buckets (including 0 on empty keyframes) execute."""
+    import jax.numpy as jnp
+
+    from boxfusion_tpu.models.clip.head import OpenVocabLabeler
+    from boxfusion_tpu.models.clip.model import CLIPConfig
+
+    model, params = cutr
+    tiny = CLIPConfig(
+        patch=32, width=64, layers=2, heads=2, embed_dim=32,
+        vocab_size=64, context_length=8, text_width=64, text_layers=1,
+        text_heads=2,
+    )
+    tf = np.random.RandomState(0).randn(4, 32).astype(np.float32)
+    classes = ["chair", "table", "sofa", "lamp"]
+    seq = SyntheticSequence(n_frames=11, n_boxes=4, seed=3)
+    frames = _mm_quantized_frames(seq)
+
+    worlds = {}
+    for bucketing in (False, True):
+        cfg = _cfg()
+        cfg["box_fusion"]._data["clip_sim_coeff"] = 2.0
+        cfg["detection"]._data["label_bucketing"] = bucketing
+        pipe = FusedDevicePipeline(
+            cfg,
+            CuTRDetector(model, params),
+            labeler=OpenVocabLabeler(
+                classes, tf, cfg=tiny, sim_thres=-1e9, max_boxes=16
+            ).init_random(0),
+            capacity=64,
+            depth_mode="u16",
+        )
+        worlds[bucketing] = pipe.run(frames, gap=5)
+
+    full, bucketed = worlds[False], worlds[True]
+    assert len(bucketed["scores"]) == len(full["scores"])
+    bo = np.argsort(bucketed["init_id"])
+    fo = np.argsort(full["init_id"])
+    np.testing.assert_array_equal(
+        np.asarray(bucketed["init_id"])[bo], np.asarray(full["init_id"])[fo]
+    )
+    assert [bucketed["categories"][i] for i in bo] == [
+        full["categories"][i] for i in fo
+    ]
+    np.testing.assert_allclose(
+        np.asarray(bucketed["scores"])[bo],
+        np.asarray(full["scores"])[fo],
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(bucketed["xyzlhw"])[bo],
+        np.asarray(full["xyzlhw"])[fo],
+        atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bucketed["stats"]["label_overflow"]),
+        np.asarray(full["stats"]["label_overflow"]),
+    )
+
+
+def test_label_buckets_for():
+    from boxfusion_tpu.runtime.fused import label_buckets_for
+
+    assert label_buckets_for(128) == (0, 32, 64, 96, 128)
+    assert label_buckets_for(96) == (0, 32, 64, 96)
+    assert label_buckets_for(48) == (0, 32, 48)
+    assert label_buckets_for(32) == (0, 32)
+    assert label_buckets_for(16) == (0, 16)
