@@ -38,10 +38,13 @@ Phases (each also logs timestamped progress to stderr):
                pipeline fed from an on-disk CA-1M layout through the native
                C++ PNG decoder + threaded prefetcher -- the figure the
                reference's own FPS print includes, demo.py:363-366).
-  stress    -- oracle-detection association/fusion stress load at the
-               production 256-slot profile (deliberately saturating).
   multistream -- 4 independent sequences in lockstep on one chip
                (runtime/batched.py, packed transport): aggregate frames/s.
+  stages    -- completion-forced per-stage keyframe cost table (stage_ms):
+               CLIP tower per label bucket, crop+resize, association step,
+               fusion delta -- the decomposition that directs the next cut.
+  stress    -- oracle-detection association/fusion stress load at the
+               production 256-slot profile (deliberately saturating).
 
 vs_baseline: the reference publishes no FPS (BASELINE.md); the paper-level
 claim for the CUDA pipeline is ~10 FPS end-to-end on a desktop GPU
@@ -495,7 +498,8 @@ def phase_headline(out_path: str, budget_s: float) -> None:
         real_pipe.count += 1
     real_pipe.flush()
     int(real_pipe.state.n)
-    kf1_runs = [_timed_run(real_pipe, kf1_frames, 1) for _ in range(n_runs)]
+    n_sec = min(n_runs, 2)  # secondaries: 2 runs keep the phase inside budget
+    kf1_runs = [_timed_run(real_pipe, kf1_frames, 1) for _ in range(n_sec)]
     result["keyframes_per_s_gap1"] = round(float(np.median(kf1_runs)), 3)
     _write_json(out_path, result)
     _log(f"headline: gap=1 {result['keyframes_per_s_gap1']:.1f} keyframes/s")
@@ -549,7 +553,7 @@ def phase_headline(out_path: str, budget_s: float) -> None:
             real_pipe.flush()
             jax.block_until_ready(real_pipe.state.n)
             io_runs = []
-            for _ in range(n_runs):
+            for _ in range(min(n_runs, 2)):
                 real_pipe.reset()
                 # the prefetcher is constructed INSIDE the timed window so its
                 # queue pre-fill (up to 8 frames of disk read + PNG decode)
@@ -583,9 +587,12 @@ def phase_headline(out_path: str, budget_s: float) -> None:
     # residual cost is real device compute, not dispatch.
     phase_left = budget_s - (time.monotonic() - t_phase)
     if phase_left > 120:
+        # chunk_auto=False: record the RAW chunked path at both gaps (the
+        # A/B behind the runtime's gap-aware auto-resolution; with auto on,
+        # gap=20 would silently measure the per-frame path twice)
         chunk_pipe = FusedDevicePipeline(
             cfg_headline, CuTRDetector(model, params), labeler=labeler,
-            capacity=headline_capacity, chunk=8,
+            capacity=headline_capacity, chunk=8, chunk_auto=False,
         )
         for fr in kf1_frames[:9]:
             chunk_pipe.process_keyframe(fr)
@@ -593,9 +600,9 @@ def phase_headline(out_path: str, budget_s: float) -> None:
         chunk_pipe.flush()
         int(chunk_pipe.state.n)  # compile + truthful-mode fetch
         kf1c_runs = [_timed_run(chunk_pipe, kf1_frames, 1)
-                     for _ in range(n_runs)]
+                     for _ in range(min(n_runs, 2))]
         fpsc_runs = [_timed_run(chunk_pipe, frames, gap)
-                     for _ in range(n_runs)]
+                     for _ in range(min(n_runs, 2))]
         result["keyframes_per_s_gap1_chunk8"] = round(
             float(np.median(kf1c_runs)), 3
         )
@@ -656,6 +663,113 @@ def phase_headline(out_path: str, budget_s: float) -> None:
     )
     _write_json(out_path, result)
     _log("headline: done (stats exported)")
+
+
+# ---------------------------------------------------------------------------
+# phase: stages (per-stage keyframe cost decomposition -> stage_ms)
+# ---------------------------------------------------------------------------
+
+def phase_stages(out_path: str, budget_s: float) -> None:
+    """Completion-forced per-stage costs of the real keyframe path:
+    detector forward, crop+resize, CLIP tower at each label bucket, and the
+    association/fusion step (oracle load, headline capacity) with fusion
+    on/off.  Each figure is a serialized dependency chain closed by a
+    scalar fetch inside the timed window (module docstring protocol)."""
+    jax, on_tpu = _phase_init()
+    import jax.numpy as jnp
+
+    wl = _workload(on_tpu)
+    result = {"stage_ms": {}}
+    stage = result["stage_ms"]
+
+    def timed_chain(fn, x0, reps):
+        """fn: x -> scalar-ish dependency; chains reps calls, fetches inside."""
+        x = fn(x0)
+        jax.block_until_ready(x)
+        float(jnp.sum(x)) if hasattr(x, "dtype") else None  # warm fetch
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            x = fn(x)
+        float(jnp.sum(x))
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    # --- CLIP tower per label bucket + crop/resize ---------------------------
+    _log("stages: CLIP tower per bucket")
+    labeler = _make_labeler(on_tpu)
+    from boxfusion_tpu.models.clip.head import batched_crop_resize
+    from boxfusion_tpu.runtime.fused import label_buckets_for
+
+    rng = np.random.RandomState(0)
+    S = wl["S"]
+    image = jnp.asarray(rng.rand(int(0.75 * S), S, 3) * 255, jnp.float32)
+    buckets = [b for b in label_buckets_for(128 if on_tpu else 32) if b > 0]
+    reps = 6 if on_tpu else 2
+    tower = jax.jit(labeler.tower.apply)
+    for b in buckets:
+        crops0 = jnp.asarray(rng.rand(b, 224, 224, 3), jnp.float32)
+
+        def step_tower(x, _crops0=crops0, _b=b):
+            feats = tower(labeler.params, _crops0 + jnp.mean(x) * 1e-12)
+            return jnp.sum(feats.astype(jnp.float32), axis=0)
+
+        stage[f"clip_tower_{b}"] = round(
+            timed_chain(step_tower, jnp.zeros(labeler.text_features.shape[1]), reps), 3
+        )
+        _write_json(out_path, result)
+        _log(f"stages: clip_tower_{b} = {stage[f'clip_tower_{b}']} ms")
+
+    boxes = jnp.asarray(rng.rand(128, 4) * 150 + 5, jnp.float32)
+    boxes = boxes.at[:, 2:].add(boxes[:, :2])
+    cr = jax.jit(lambda img, b: batched_crop_resize(img, b))
+
+    def step_crop(x):
+        crops = cr(image + jnp.mean(x) * 1e-12, boxes)
+        return jnp.sum(crops, axis=(0, 1, 2))
+
+    stage["crop_resize_128"] = round(
+        timed_chain(step_crop, jnp.zeros(3), reps), 3
+    )
+    _write_json(out_path, result)
+
+    # --- association + fusion step (oracle load, headline profile) ----------
+    _log("stages: keyframe step (assoc+fusion) oracle load")
+    from boxfusion_tpu.data.synthetic import OracleDetector
+    from boxfusion_tpu.runtime.device_pipeline import DevicePipeline
+
+    seq, frames = _frames(wl)
+    capacity = 2048 if on_tpu else 256
+    for tag, fuse_on in (("assoc_plus_fusion", True), ("assoc_only", False)):
+        cfg = _bench_cfg(on_tpu, wl)
+        cfg["box_fusion"]._data["use"] = fuse_on
+        if on_tpu:
+            cfg["association"]._data["max_observations"] = 16384
+        pipe = DevicePipeline(
+            cfg, OracleDetector(seq, noise=0.03, seed=1), capacity=capacity
+        )
+        kf = frames[:: wl["gap"]][: 21 if on_tpu else 6]
+        for fr in kf[:2]:
+            pipe.process_keyframe(fr)
+        pipe.flush()
+        int(pipe.state.n)  # compile + truthful-mode fetch
+        best = None
+        for _ in range(2):
+            pipe.reset()
+            pipe.detector = OracleDetector(seq, noise=0.03, seed=1)
+            t0 = time.perf_counter()
+            for fr in kf:
+                pipe.process_keyframe(fr)
+            pipe.flush()
+            int(pipe.state.n)  # completion fetch INSIDE the window
+            dt = (time.perf_counter() - t0) / len(kf) * 1e3
+            best = dt if best is None else min(best, dt)
+        stage[f"step_{tag}"] = round(best, 3)
+        _write_json(out_path, result)
+        _log(f"stages: step_{tag} = {stage[f'step_{tag}']} ms/keyframe")
+    stage["fusion_delta"] = round(
+        max(stage["step_assoc_plus_fusion"] - stage["step_assoc_only"], 0.0), 3
+    )
+    _write_json(out_path, result)
+    _log("stages: done")
 
 
 # ---------------------------------------------------------------------------
@@ -769,6 +883,7 @@ def phase_multistream(out_path: str, budget_s: float) -> None:
 _PHASES = {
     "micro": phase_micro,
     "headline": phase_headline,
+    "stages": phase_stages,
     "stress": phase_stress,
     "multistream": phase_multistream,
 }
@@ -895,19 +1010,27 @@ def main() -> None:
         if _remaining() <= 300:
             break
 
-    # --- 3. stress ----------------------------------------------------------
-    if _remaining() > 300:
-        result.update(_run_phase("stress", min(420.0, _remaining() - 120)))
-        _emit(result)
-    else:
-        _log("stress: skipped (deadline)")
-
-    # --- 4. multistream -----------------------------------------------------
+    # --- 3. multistream (before stress: the 4-lane aggregate had no r4
+    # record -- stress does -- so it gets the earlier budget slot) ----------
     if on_tpu and _remaining() > 300:
-        result.update(_run_phase("multistream", min(480.0, _remaining() - 60)))
+        result.update(_run_phase("multistream", min(420.0, _remaining() - 120)))
         _emit(result)
     elif on_tpu:
         _log("multistream: skipped (deadline)")
+
+    # --- 4. stages (per-stage keyframe decomposition) -----------------------
+    if _remaining() > 240:
+        result.update(_run_phase("stages", min(360.0, _remaining() - 90)))
+        _emit(result)
+    else:
+        _log("stages: skipped (deadline)")
+
+    # --- 5. stress ----------------------------------------------------------
+    if _remaining() > 200:
+        result.update(_run_phase("stress", min(300.0, _remaining() - 60)))
+        _emit(result)
+    else:
+        _log("stress: skipped (deadline)")
 
     # like-for-like CPU reference comparison, when the black-box CLI parity
     # record exists (tools/run_blackbox_parity.py runs the reference's own

@@ -55,7 +55,9 @@ def build_argparser() -> argparse.ArgumentParser:
         "--chunk", default=1, type=int,
         help="fused engine: scan N consecutive keyframes per dispatch "
         "(identical decisions, ~Nx lower dispatch cost at gap=1, N "
-        "keyframes of result latency; 1 = lowest-latency live mode)",
+        "keyframes of result latency; 1 = lowest-latency live mode). "
+        "Auto-disabled when gap > N: the measured A/B (BENCH_r04) shows "
+        "chunking loses once non-key frames separate the keyframes",
     )
     p.add_argument(
         "--save-state", default=None, metavar="PATH",

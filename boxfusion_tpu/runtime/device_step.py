@@ -867,8 +867,24 @@ def _keyframe_step_impl(
 
         corners_all = box_corners(state.xyzlhw, state.R)
 
-        # IoU cache rows for the new slots (two-phase gated)
-        rows, truncated = _gated_iou_rows(corners_all, is_new, corners_all, mask_all, cfg)
+        # IoU cache rows for the new slots (two-phase gated).  The new slots
+        # are a CONTIGUOUS window of at most kmax rows starting at n_before
+        # (_append_detections), so the containment gate runs on a
+        # (kmax, G) slice instead of the full (G, G) -- at capacity 2048 /
+        # 100 detections that is 20x less gate work (the dominant
+        # association cost), with identical results: gated pairs can only
+        # come from is_new query rows, and their row-major order (hence the
+        # MAX_GATED_PAIRS top-k selection) is preserved within the slice.
+        kq = min(int(det["scores"].shape[0]), G)
+        o = jnp.minimum(n_before, G - kq)
+        corners_q = jax.lax.dynamic_slice_in_dim(corners_all, o, kq)
+        mask_q = jax.lax.dynamic_slice_in_dim(is_new, o, kq)
+        rows_q, truncated = _gated_iou_rows(
+            corners_q, mask_q, corners_all, mask_all, cfg
+        )
+        rows = jax.lax.dynamic_update_slice(
+            jnp.zeros((G, G), rows_q.dtype), rows_q, (o, jnp.int32(0))
+        )
         iou = jnp.where(is_new[:, None], rows, state.iou)
         iou = jnp.where(is_new[None, :] & ~is_new[:, None], rows.T, iou)
         iou = iou * (1.0 - jnp.eye(G))

@@ -405,6 +405,7 @@ class FusedDevicePipeline(DevicePipeline):
         depth_scale: float = 1000.0,
         device=None,
         chunk: int = 1,
+        chunk_auto: bool = True,
     ):
         super().__init__(cfg, detector, labeler, capacity, device=device)
         if depth_mode not in ("u16", "f32"):
@@ -417,7 +418,20 @@ class FusedDevicePipeline(DevicePipeline):
         # dispatch (make_fused_chunk_fn) -- identical decisions, ~chunk x
         # lower per-keyframe dispatch cost, ``chunk`` keyframes of result
         # latency.  The live default stays 1 (lowest latency).
+        #
+        # chunk_auto: ``run()`` disables chunking when ``gap > chunk``.
+        # Measured A/B (BENCH_r04, completion-forced): at gap=1 chunk=8 WINS
+        # (4.10 vs 3.39 keyframes/s -- per-dispatch host cost dominates when
+        # every frame is a keyframe) but at gap=20 it LOSES (57.4 vs 63.6
+        # FPS): with 19 cheap frames between keyframes the per-frame path
+        # already overlaps each upload with the previous keyframe's device
+        # compute, while the scanned chunk serializes 8 keyframes into one
+        # long dispatch that cannot overlap its own 8 MB upload.  Callers
+        # that want the raw chunked path at any gap (the bench A/B) pass
+        # chunk_auto=False.
         self.chunk = int(chunk)
+        self.chunk_auto = bool(chunk_auto)
+        self._chunk_effective = self.chunk
         self._pending: list = []  # [(shape-key, packed buf)] awaiting a chunk
         self._pack_scratch: Optional[np.ndarray] = None  # caller-thread only
         self._fused_fns: Dict[tuple, object] = {}
@@ -532,7 +546,12 @@ class FusedDevicePipeline(DevicePipeline):
         dh, dw = frame.depth.shape[:2]
         shape_key = (h, w, dh, dw, square, ratio)
         buf = self._pack_buffer(frame)
-        if self.chunk == 1:
+        chunk = self._chunk_effective
+        if chunk == 1:
+            # a gap change mid-stream (run() auto-resolution) must not strand
+            # buffered keyframes from an earlier chunked phase
+            if self._pending:
+                self._flush_pending()
             fn = self._get_fused(shape_key)
             self._last = self._executor.submit(self._fused_step, fn, buf)
             return
@@ -542,8 +561,8 @@ class FusedDevicePipeline(DevicePipeline):
         if self._pending and self._pending[0][0] != shape_key:
             self._flush_pending()
         self._pending.append((shape_key, buf))
-        if len(self._pending) == self.chunk:
-            fn = self._get_fused(shape_key, chunk=self.chunk)
+        if len(self._pending) == chunk:
+            fn = self._get_fused(shape_key, chunk=chunk)
             bufs = np.stack([b for _, b in self._pending])
             self._pending.clear()
             self._last = self._executor.submit(self._fused_step, fn, bufs)
@@ -561,6 +580,19 @@ class FusedDevicePipeline(DevicePipeline):
         if self._pending:
             self._flush_pending()
         super().flush()
+
+    def run(self, dataset, gap=None, verbose: bool = False, export: bool = True):
+        g = int(self.cfg["data"]["gap"]) if gap is None else int(gap)
+        # chunk auto-resolution by gap (see __init__: the measured A/B shows
+        # chunking wins only when keyframes are back-to-back)
+        if self.chunk > 1 and self.chunk_auto and g > self.chunk:
+            self._chunk_effective = 1
+        else:
+            self._chunk_effective = self.chunk
+        try:
+            return super().run(dataset, gap=gap, verbose=verbose, export=export)
+        finally:
+            self._chunk_effective = self.chunk
 
     def reset(self) -> None:
         self._pending.clear()

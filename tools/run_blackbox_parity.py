@@ -52,12 +52,21 @@ SEQ = "42898867"
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    fixture = os.path.join(REPO, "tests", "fixtures", "cutr_trained_192.pth")
     ap.add_argument("--trained", action="store_true",
                     help="train a checkpoint on the scene (deterministic "
                          "parity regime); otherwise seeded random weights")
-    ap.add_argument("--ckpt", default=None,
+    ap.add_argument("--ckpt",
+                    default=fixture if os.path.exists(fixture) else None,
                     help="use an existing trained .pth (skips training; "
-                         "implies the deterministic regime)")
+                         "implies the deterministic regime).  Defaults to "
+                         "the committed fixture tests/fixtures/"
+                         "cutr_trained_192.pth (tools/build_parity_fixture"
+                         ".py) when present, so the RECORDED regime is the "
+                         "deterministic one by default")
+    ap.add_argument("--random", action="store_true",
+                    help="force the seeded-random regime even when the "
+                         "trained fixture exists")
     ap.add_argument("--steps", type=int, default=350)
     ap.add_argument("--dim", type=int, default=192,
                     help="ViT width for --trained (192 is the smallest the "
@@ -88,6 +97,8 @@ def main(argv=None) -> int:
         bh.write_scene(seqdir, n_frames=N_FRAMES, image_hw=HW)
     class_txt, class_pt = bh.write_class_assets(root)
 
+    if args.random:
+        args.ckpt = None
     if args.ckpt:
         ckpt = args.ckpt
         args.trained = True  # deterministic-regime labeling + exact matcher
