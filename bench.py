@@ -229,7 +229,9 @@ def _make_labeler(on_tpu: bool):
     if on_tpu:
         clip_cfg = CLIPConfig(
             patch=14, width=1024, layers=24, heads=16, embed_dim=1024,
-            dtype=jnp.bfloat16,
+            dtype=jnp.bfloat16, quick_gelu=True,  # OpenAI ViT-L/14 is
+            # a quickgelu model (open_clip ViT-L-14-quickgelu); sigmoid is
+            # also measurably cheaper than erf on the VPU
         )
         n_classes, feat_dim = 473, 1024
     else:

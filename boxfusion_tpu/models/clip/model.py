@@ -50,6 +50,14 @@ class CLIPConfig:
     # compute dtype (params stay f32; softmax + norm stats stay f32; the
     # returned embeddings are f32).  bfloat16 is MXU-native on TPU.
     dtype: Any = jnp.float32
+    # Attention implementation for unmasked (image-tower) blocks:
+    #   "xla"    -- einsum scores + f32 softmax (the portable default);
+    #   "kernel" -- whole-sequence Pallas kernel (ops/attention_kernel.py):
+    #               scores/softmax stay in VMEM, ~7% off the ViT-L tower at
+    #               the 128-crop label batch (profile_clip_attn.py);
+    #   "auto"   -- "kernel" on TPU backends, "xla" elsewhere.
+    # Masked (text-tower causal) blocks always use the xla path.
+    attn_impl: str = "auto"
 
     @staticmethod
     def vit_l14() -> "CLIPConfig":
@@ -71,6 +79,7 @@ class ResidualBlock(nn.Module):
     heads: int
     quick_gelu: bool = False
     dtype: Any = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
@@ -83,19 +92,30 @@ class ResidualBlock(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
         B, N, _ = q.shape
         hd = d // self.heads
-        q = q.reshape(B, N, self.heads, hd)
-        k = k.reshape(B, N, self.heads, hd)
-        v = v.reshape(B, N, self.heads, hd)
-        # scores in the COMPUTE dtype, softmax statistics in f32.  The f32
-        # score tensor was the tower's top cost at the labeling batch size
-        # (B=128, T=257: 540 MB/layer of HBM traffic; measured 8.6 vs
-        # 4.2 ms/layer) -- in f32 mode this is bit-identical to an f32
-        # score matmul, so CPU parity tests are unaffected.
-        attn = jnp.einsum("bqhc,bkhc->bhqk", q * (hd ** -0.5), k)
-        if mask is not None:
-            attn = attn + mask
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
-        o = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(B, N, d)
+        if self.attn_impl == "kernel" and mask is None:
+            # whole-sequence Pallas attention: scores/softmax never touch
+            # HBM (ops/attention_kernel.py).  Same numerics contract as the
+            # xla path below: f32-accumulated score dot, f32 softmax,
+            # probabilities cast to the value dtype.
+            from boxfusion_tpu.ops.attention_kernel import whole_seq_attention
+
+            o = whole_seq_attention(q, k, v, heads=self.heads,
+                                    sm_scale=hd ** -0.5)
+        else:
+            q = q.reshape(B, N, self.heads, hd)
+            k = k.reshape(B, N, self.heads, hd)
+            v = v.reshape(B, N, self.heads, hd)
+            # scores in the COMPUTE dtype, softmax statistics in f32.  The
+            # f32 score tensor was the tower's top cost at the labeling
+            # batch size (B=128, T=257: 540 MB/layer of HBM traffic;
+            # measured 8.6 vs 4.2 ms/layer) -- in f32 mode this is
+            # bit-identical to an f32 score matmul, so CPU parity tests are
+            # unaffected.
+            attn = jnp.einsum("bqhc,bkhc->bhqk", q * (hd ** -0.5), k)
+            if mask is not None:
+                attn = attn + mask
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+            o = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(B, N, d)
         x = x + nn.Dense(d, dtype=self.dtype, name="attn_out_proj")(o)
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
@@ -137,8 +157,12 @@ class CLIPImageTower(nn.Module):
         )
         x = x + pos[None].astype(c.dtype)
         x = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="ln_pre")(x)
+        impl = c.attn_impl
+        if impl == "auto":
+            impl = "kernel" if jax.default_backend() not in ("cpu",) else "xla"
         for i in range(c.layers):
-            x = ResidualBlock(c.heads, c.quick_gelu, dtype=c.dtype, name=f"resblocks_{i}")(x)
+            x = ResidualBlock(c.heads, c.quick_gelu, dtype=c.dtype,
+                              attn_impl=impl, name=f"resblocks_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="ln_post")(x[:, 0])
         proj = self.param(
             "proj", nn.initializers.normal(c.width ** -0.5), (c.width, c.embed_dim)

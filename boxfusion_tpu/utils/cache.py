@@ -3,6 +3,15 @@
 The device-resident keyframe step is one large jitted program; its first
 compile costs minutes.  The persistent cache makes that a one-time cost per
 machine instead of per process.
+
+The cache directory is scoped by a MACHINE FINGERPRINT (cpu flags + jaxlib
+version): XLA:CPU AOT executables bake in the compile host's vector ISA
+(amx/avx512 feature set), and the cache key does NOT cover it -- loading an
+entry produced on a host with a different feature set segfaults inside
+``compilation_cache.get_executable_and_time`` (observed 2026-08-21: a
+cache written on an amx-avx512 host SIGSEGVed this host's test suite at
+33 files in).  Per-fingerprint directories make a foreign cache invisible
+instead of fatal.
 """
 from __future__ import annotations
 
@@ -12,13 +21,37 @@ _DEFAULT = os.path.join(os.path.expanduser("~"), ".cache", "boxfusion_tpu_xla")
 _enabled = False
 
 
+def _machine_tag() -> str:
+    """Stable fingerprint of everything an AOT executable bakes in."""
+    import hashlib
+    import platform
+
+    bits = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for ln in f:
+                if ln.startswith("flags"):
+                    bits.append(ln.strip())
+                    break
+    except OSError:
+        pass
+    try:
+        import jaxlib
+
+        bits.append(jaxlib.__version__)
+    except Exception:
+        pass
+    return hashlib.sha1(" ".join(bits).encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     global _enabled
     if _enabled:
         return
     import jax
 
-    cache_dir = path or os.environ.get("BOXFUSION_XLA_CACHE", _DEFAULT)
+    base = path or os.environ.get("BOXFUSION_XLA_CACHE", _DEFAULT)
+    cache_dir = os.path.join(base, _machine_tag())
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
