@@ -93,6 +93,12 @@ class CuTRConfig:
     # MLPs); params, coordinate decoding, softmax and norm statistics stay
     # float32.  bfloat16 is MXU-native on TPU (~2x forward throughput).
     dtype: Any = jnp.float32
+    # Backbone attention implementation.  "xla" everywhere: the r5
+    # completion-forced A/B shows the whole-sequence Pallas kernel LOSING
+    # at CuTR shapes (7.67 vs 5.71 ms @ 512px -- too few sequences to
+    # pipeline the grid) while winning on the CLIP tower; see
+    # models/cutr/vit.py::JointAttention.  "kernel"/"auto" remain available.
+    attn_impl: str = "xla"
 
     @property
     def vit_heads(self) -> int:
@@ -186,6 +192,7 @@ class CubifyTransformer(nn.Module):
             encoder_norm=not cfg.depth_model,
             pretrain_img_size=512 if not cfg.depth_model else 224,
             dtype=dt,
+            attn_impl=cfg.attn_impl,
             name="vit",
         )
         self.pos_embedding = CameraRayEmbedding(cfg.decoder_dim, dtype=dt, name="camera_ray")

@@ -86,15 +86,24 @@ class JointAttention(nn.Module):
     Both modalities share the qkv / proj weights.  Scores are computed over
     the concatenated key sequence; the softmax is applied separately to the
     RGB-query block and the depth-query block (matching the reference's
-    split-after-matmul).
+    split-after-matmul) -- since softmax is per query ROW over the full key
+    axis, stacking both query blocks into one call is bit-equivalent.
 
-    Global (non-window, RGB-only) blocks use XLA's fused attention, which
-    measured 23x faster than a VMEM-resident Pallas kernel at CuTR token
-    counts (N <= 4096; ablation record: tools/pallas_attention_ablation.py).
+    ``attn_impl="kernel"`` routes through the whole-sequence Pallas kernel
+    (ops/attention_kernel.py).  Completion-forced round-5 A/B at CuTR-768 @
+    512px: kernel 7.67 ms vs xla 5.71 ms full-forward -- the kernel LOSES
+    here (4 windows / 1 global sequence make a grid too short to pipeline,
+    and the score tensors are only ~25 MB/layer), while the same kernel
+    wins 23% on the CLIP tower (128 crops = 128 pipelined grid cells,
+    270 MB/layer of score traffic).  Default stays "xla"; the knob exists
+    for future shapes.  (The round-4 ablation's "XLA 23x faster" figure,
+    tools/pallas_attention_ablation.py, was an enqueue-rate artifact; the
+    direction was right, the magnitude fictional.)
     """
 
     num_heads: int
     dtype: Any = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, depth=None):
@@ -104,6 +113,32 @@ class JointAttention(nn.Module):
 
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")
         proj = nn.Dense(C, dtype=self.dtype, name="proj")
+
+        if self.attn_impl == "kernel":
+            from boxfusion_tpu.ops.attention_kernel import whole_seq_attention
+
+            def split_flat(t, n):
+                # heads stay packed along the channel axis (head h = columns
+                # [h*hd, (h+1)*hd)), exactly the kernel's expected layout
+                r = qkv(t).reshape(B, n, 3, C)
+                return r[:, :, 0], r[:, :, 1], r[:, :, 2]
+
+            n_rgb = H * W
+            q, k, v = split_flat(x.reshape(B, n_rgb, C), n_rgb)
+            if depth is not None:
+                _, Hd, Wd, _ = depth.shape
+                qd, kd, vd = split_flat(depth.reshape(B, Hd * Wd, C), Hd * Wd)
+                q = jnp.concatenate([q, qd], axis=1)
+                k = jnp.concatenate([k, kd], axis=1)
+                v = jnp.concatenate([v, vd], axis=1)
+            o = whole_seq_attention(q, k, v, heads=self.num_heads,
+                                    sm_scale=scale)
+            o = proj(o)
+            out = o[:, :n_rgb].reshape(B, H, W, C)
+            out_d = (
+                o[:, n_rgb:].reshape(B, Hd, Wd, C) if depth is not None else None
+            )
+            return out, out_d
 
         def split_qkv(t, n):
             # (B, N, 3, heads, hd) matching torch's packed reshape.
@@ -160,6 +195,7 @@ class Block(nn.Module):
     depth_modality: bool = False
     layer_scale: bool = False
     dtype: Any = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, depth=None):
@@ -168,7 +204,8 @@ class Block(nn.Module):
         norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")
         mlp = Mlp(int(dim * self.mlp_ratio), dtype=self.dtype, name="mlp")
         attn = JointAttention(
-            self.num_heads, dtype=self.dtype, name="attn"
+            self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl,
+            name="attn",
         )
         if self.layer_scale:
             ls1 = self.param("ls1_gamma", nn.initializers.ones, (dim,))
@@ -243,6 +280,10 @@ class ViT(nn.Module):
     pretrain_use_cls_token: bool = True
     patch: int = 16
     dtype: Any = jnp.float32
+    # "auto" -> whole-sequence Pallas attention on TPU backends, the xla
+    # einsum path elsewhere (see JointAttention; CuTR overrides to "xla" --
+    # the kernel loses at its shapes).
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, depth: Optional[jnp.ndarray] = None):
@@ -271,6 +312,9 @@ class ViT(nn.Module):
             pd = pos_d[:, 1:] if self.pretrain_use_cls_token else pos_d
             d = d + resize_pos_embed(pd, grid, (d.shape[1], d.shape[2])).astype(self.dtype)
 
+        impl = self.attn_impl
+        if impl == "auto":
+            impl = "kernel" if jax.default_backend() not in ("cpu",) else "xla"
         for i in range(self.depth):
             is_window = i in self.window_block_indexes
             blk = Block(
@@ -282,6 +326,7 @@ class ViT(nn.Module):
                 depth_modality=self.depth_modality and is_window,
                 layer_scale=self.layer_scale,
                 dtype=self.dtype,
+                attn_impl=impl,
                 name=f"blocks_{i}",
             )
             if blk.depth_modality and d is not None:
