@@ -189,9 +189,10 @@ def _build_model(on_tpu: bool, wl: dict):
     # Calibrate the foreground-class bias: random-init logits sit near the
     # prior (score ~0.02), so NO detection would pass the 0.3 raw-score
     # filter and the "real path" would associate/fuse nothing.  +3.2 on
-    # every per-layer class head puts ~40-100 detections/keyframe above the
-    # filter (measured ladder: +3.0 -> 40, +3.5 -> 100 of 100) -- a
-    # realistic CA-1M indoor load.  FLOPs are unchanged.
+    # every per-layer class head puts a heavy detection load above the
+    # filter -- re-measured r5: median 100 of 100 rows/keyframe pass (min
+    # 76), i.e. the label/association stages run at their full budget
+    # nearly every keyframe.  FLOPs are unchanged.
     def _lift_bias(path, leaf):
         keys = [getattr(p, "key", "") for p in path]
         if any("class_predictor" in k for k in keys) and keys[-1] == "bias":
@@ -473,8 +474,10 @@ def phase_headline(out_path: str, budget_s: float) -> None:
                 f"online e2e FPS, real path: CuTR-{wl['dim']} {wl['dtype_tag']} "
                 f"detect + CLIP label + device-resident assoc+fusion @ {S}px, "
                 f"gap {gap}, one fused dispatch/keyframe (synthetic stream, "
-                "random weights, class bias calibrated to ~40-100 raw "
-                "detections/keyframe; non-saturating profile: "
+                "random weights, class bias calibrated to a heavy ~100 raw "
+                "detections/keyframe (measured: median 100 of 100 rows pass "
+                "the 0.3 filter; the CLIP label stage therefore runs at its "
+                "full 100-crop load most keyframes); non-saturating profile: "
                 f"{headline_capacity}-slot world, "
                 f"{int(cfg_headline['detection']['max_label_boxes'])}-crop "
                 "label budget); COMPLETION-FORCED timing (in-window D2H "
