@@ -44,9 +44,30 @@ def _machine_tag() -> str:
     return hashlib.sha1(" ".join(bits).encode()).hexdigest()[:12]
 
 
+def _forced_multidevice_cpu() -> bool:
+    """True when this process runs the virtual multi-device CPU platform
+    (tests / multichip dryruns).  Serializing MESH-SHARDED XLA:CPU
+    executables into the persistent cache segfaults on this jaxlib
+    (observed 2026-08-21: `put_executable_and_time` SIGSEGV compiling the
+    sharded train step under --xla_force_host_platform_device_count=8;
+    single-device CPU and TPU entries round-trip fine), so the cache is
+    skipped entirely for that configuration."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    for tok in flags.split():
+        if tok.startswith("--xla_force_host_platform_device_count="):
+            try:
+                return int(tok.split("=", 1)[1]) > 1
+            except ValueError:
+                return True
+    return False
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     global _enabled
     if _enabled:
+        return
+    if _forced_multidevice_cpu():
+        _enabled = True  # deliberate no-op (see _forced_multidevice_cpu)
         return
     import jax
 
