@@ -62,10 +62,27 @@ def _forced_multidevice_cpu() -> bool:
     return False
 
 
+def raise_stack_limit(soft: int = 512 << 20) -> None:
+    """Raise RLIMIT_STACK: XLA:CPU's pass recursion on the largest programs
+    (the CuTR grad step) can overrun the default 8 MB main-thread stack in
+    long-lived processes (tests/conftest.py documents the observed
+    SIGSEGVs).  The main-thread stack grows on demand up to the soft
+    limit, so raising it is effective mid-process."""
+    try:
+        import resource
+
+        cur_soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
+        if cur_soft != resource.RLIM_INFINITY and cur_soft < soft:
+            resource.setrlimit(resource.RLIMIT_STACK, (soft, hard))
+    except (ImportError, ValueError, OSError):
+        pass
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     global _enabled
     if _enabled:
         return
+    raise_stack_limit()
     if _forced_multidevice_cpu():
         _enabled = True  # deliberate no-op (see _forced_multidevice_cpu)
         return
