@@ -137,8 +137,13 @@ def label_buckets_for(budget: int) -> tuple:
     """Ascending crop-count buckets ending at ``budget``.
 
     0 skips CLIP entirely on empty keyframes; intermediate multiples of 32
-    keep the compile count small while bounding wasted crops at <32."""
-    return (0,) + tuple(b for b in (32, 64, 96) if b < budget) + (budget,)
+    keep the compile count small while bounding wasted crops at <32.  The
+    extra 112 step splits the top band: the tower's cost is linear in
+    crops and the live-count distribution concentrates just above 96
+    (median ~100 at the calibrated bench load), so without it the hottest
+    keyframes all pay the full 128-crop tower; with it they pay 112
+    (~23 ms less per keyframe on the v5e) for one more cached compile."""
+    return (0,) + tuple(b for b in (32, 64, 96, 112) if b < budget) + (budget,)
 
 
 def label_boost_core(

@@ -354,7 +354,7 @@ def test_bucketed_labeling_matches_full_budget(cutr):
 def test_label_buckets_for():
     from boxfusion_tpu.runtime.fused import label_buckets_for
 
-    assert label_buckets_for(128) == (0, 32, 64, 96, 128)
+    assert label_buckets_for(128) == (0, 32, 64, 96, 112, 128)
     assert label_buckets_for(96) == (0, 32, 64, 96)
     assert label_buckets_for(48) == (0, 32, 48)
     assert label_buckets_for(32) == (0, 32)
