@@ -54,10 +54,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument(
         "--chunk", default=1, type=int,
         help="fused engine: scan N consecutive keyframes per dispatch "
-        "(identical decisions, ~Nx lower dispatch cost at gap=1, N "
-        "keyframes of result latency; 1 = lowest-latency live mode). "
-        "Auto-disabled when gap > N: the measured A/B (BENCH_r04) shows "
-        "chunking loses once non-key frames separate the keyframes",
+        "(identical decisions, ~Nx lower dispatch cost, N keyframes of "
+        "result latency; 1 = lowest-latency live mode).  The r5 A/B "
+        "(BENCH_r05) shows chunking winning at every gap (gap=20: 108.2 "
+        "vs 93.1 FPS; gap=1: 6.3 vs 4.9 keyframes/s), so it applies "
+        "as given at any gap",
     )
     p.add_argument(
         "--save-state", default=None, metavar="PATH",

@@ -424,16 +424,17 @@ class FusedDevicePipeline(DevicePipeline):
         # lower per-keyframe dispatch cost, ``chunk`` keyframes of result
         # latency.  The live default stays 1 (lowest latency).
         #
-        # chunk_auto: ``run()`` disables chunking when ``gap > chunk``.
-        # Measured A/B (BENCH_r04, completion-forced): at gap=1 chunk=8 WINS
-        # (4.10 vs 3.39 keyframes/s -- per-dispatch host cost dominates when
-        # every frame is a keyframe) but at gap=20 it LOSES (57.4 vs 63.6
-        # FPS): with 19 cheap frames between keyframes the per-frame path
-        # already overlaps each upload with the previous keyframe's device
-        # compute, while the scanned chunk serializes 8 keyframes into one
-        # long dispatch that cannot overlap its own 8 MB upload.  Callers
-        # that want the raw chunked path at any gap (the bench A/B) pass
-        # chunk_auto=False.
+        # chunk_auto: r4's A/B showed chunking LOSING at gap 20 (57.4 vs
+        # 63.6 FPS) so ``run()`` used to disable it when ``gap > chunk``.
+        # The r5 re-measurement INVERTS that: after the association-gate cut
+        # and the whole-sequence CLIP attention kernel shrank the
+        # per-keyframe device program, the per-dispatch host+tunnel cost
+        # (~40 ms: pack, dispatch, completion barrier) dominates at every
+        # gap, and chunk=8 wins BOTH profiles (BENCH_r05: gap=1 6.27 vs
+        # 4.94 keyframes/s, gap=20 108.2 vs 93.1 FPS).  chunk_auto is now
+        # a no-op kept for API stability; chunking applies at any gap.
+        # The live default stays chunk=1 only because chunked dispatch adds
+        # ``chunk`` keyframes of result latency.
         self.chunk = int(chunk)
         self.chunk_auto = bool(chunk_auto)
         self._chunk_effective = self.chunk
@@ -587,13 +588,9 @@ class FusedDevicePipeline(DevicePipeline):
         super().flush()
 
     def run(self, dataset, gap=None, verbose: bool = False, export: bool = True):
-        g = int(self.cfg["data"]["gap"]) if gap is None else int(gap)
-        # chunk auto-resolution by gap (see __init__: the measured A/B shows
-        # chunking wins only when keyframes are back-to-back)
-        if self.chunk > 1 and self.chunk_auto and g > self.chunk:
-            self._chunk_effective = 1
-        else:
-            self._chunk_effective = self.chunk
+        # r5 A/B: chunking wins at every gap (see __init__), so the former
+        # gap>chunk auto-disable is gone and chunk applies as given
+        self._chunk_effective = self.chunk
         try:
             return super().run(dataset, gap=gap, verbose=verbose, export=export)
         finally:

@@ -361,30 +361,23 @@ def test_label_buckets_for():
     assert label_buckets_for(16) == (0, 16)
 
 
-def test_chunk_auto_resolves_by_gap(cutr):
-    """chunk_auto (default): run() bypasses chunking when gap > chunk (the
-    BENCH_r04 A/B shows the scanned chunk loses once non-key frames separate
-    keyframes) and keeps it when gap <= chunk; chunk_auto=False always
-    chunks.  Observed via which programs were compiled (the _fused_fns cache
-    keys carry the chunk length)."""
+def test_chunk_applies_at_any_gap(cutr):
+    """chunk>1 chunks the keyframe dispatches at EVERY gap: the r5 A/B
+    (BENCH_r05) shows the scanned chunk winning both profiles (gap=1 and
+    gap=20), so the former gap>chunk auto-disable is gone (chunk_auto is a
+    kept-for-API no-op).  Observed via which programs were compiled (the
+    _fused_fns cache keys carry the chunk length)."""
     model, params = cutr
     cfg = _cfg()
     seq = SyntheticSequence(n_frames=8, n_boxes=3, seed=5)
     frames = _mm_quantized_frames(seq)
 
-    auto = FusedDevicePipeline(
+    pipe = FusedDevicePipeline(
         cfg, CuTRDetector(model, params), capacity=64, chunk=3
     )
-    auto.run(frames, gap=5)  # gap > chunk -> per-frame dispatches
-    assert all(k[1] == 1 for k in auto._fused_fns)
+    pipe.run(frames, gap=5)  # gap > chunk: still chunked (r5 A/B)
+    assert any(k[1] == 3 for k in pipe._fused_fns)
 
-    auto.reset()
-    auto.run(frames, gap=1)  # gap <= chunk -> chunked dispatches
-    assert any(k[1] == 3 for k in auto._fused_fns)
-
-    forced = FusedDevicePipeline(
-        cfg, CuTRDetector(model, params), capacity=64, chunk=3,
-        chunk_auto=False,
-    )
-    forced.run(frames, gap=5)
-    assert any(k[1] == 3 for k in forced._fused_fns)
+    pipe.reset()
+    pipe.run(frames, gap=1)
+    assert any(k[1] == 3 for k in pipe._fused_fns)
