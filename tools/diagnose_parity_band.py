@@ -175,6 +175,13 @@ def main() -> int:
         "flip_eligible_within_p95_band": int(eligible),
         "realized_threshold_flips": int(flips),
         "verdict": (
+            "detector-level selection is IDENTICAL on this scene (zero "
+            "threshold flips; score noise orders of magnitude below the "
+            "threshold) -- residual world-set differences originate "
+            "DOWNSTREAM of the detector: the documented final-frame "
+            "semantics deviation (PARITY.md 'Known deviations') and "
+            "near-tie association/NMS decisions, not the conversion path"
+            if flips == 0 else
             "selection-boundary band is REAL: every realized flip sits "
             "inside the measured cross-stack score-noise band around the "
             "threshold" if flips <= eligible else

@@ -52,7 +52,7 @@ SEQ = "42898867"
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    fixture = os.path.join(REPO, "tests", "fixtures", "cutr_trained_192.pth")
+    fixture = os.path.join(REPO, "tests", "fixtures", "cutr_trained_192_f16.pth")
     ap.add_argument("--trained", action="store_true",
                     help="train a checkpoint on the scene (deterministic "
                          "parity regime); otherwise seeded random weights")
@@ -61,7 +61,7 @@ def main(argv=None) -> int:
                     help="use an existing trained .pth (skips training; "
                          "implies the deterministic regime).  Defaults to "
                          "the committed fixture tests/fixtures/"
-                         "cutr_trained_192.pth (tools/build_parity_fixture"
+                         "cutr_trained_192_f16.pth (tools/build_parity_fixture"
                          ".py) when present, so the RECORDED regime is the "
                          "deterministic one by default")
     ap.add_argument("--random", action="store_true",
