@@ -587,14 +587,15 @@ def phase_headline(out_path: str, budget_s: float) -> None:
     # (make_fused_chunk_fn), amortizing per-keyframe host dispatch cost --
     # identical decisions (parity:
     # tests/test_fused_pipeline.py::test_chunked_matches_per_frame_dispatch),
-    # 8 keyframes of result latency.  Truthfully timed the win is ~15-25%
-    # (r4: gap=20 71 vs 61 FPS, gap=1 4.1 vs 3.2 keyframes/s) -- the
-    # residual cost is real device compute, not dispatch.
+    # 8 keyframes of result latency.  The r5 A/B shows chunking winning at
+    # EVERY gap (gap=20 108.2 vs 93.1 FPS, gap=1 6.3 vs 4.9 keyframes/s --
+    # the ~40 ms per-dispatch host+tunnel cost dominates the shrunken
+    # per-keyframe program), which is why the former gap>chunk
+    # auto-disable was removed from the engine.  The headline `value`
+    # stays the per-keyframe (chunk=1) figure for cross-round
+    # comparability; fps_chunk8 records the recommended throughput config.
     phase_left = budget_s - (time.monotonic() - t_phase)
     if phase_left > 120:
-        # chunk_auto=False: record the RAW chunked path at both gaps (the
-        # A/B behind the runtime's gap-aware auto-resolution; with auto on,
-        # gap=20 would silently measure the per-frame path twice)
         chunk_pipe = FusedDevicePipeline(
             cfg_headline, CuTRDetector(model, params), labeler=labeler,
             capacity=headline_capacity, chunk=8, chunk_auto=False,
